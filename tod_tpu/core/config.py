@@ -1,0 +1,161 @@
+"""Typed configuration for the whole pipeline.
+
+The reference hard-codes every constant across its sources (SURVEY.md §5 "Config"):
+image dims 640×480 and tile size 224 (reference src/scene.rs:36-37, src/yolact.rs:143-144,
+207-214), camera FOVs 87°/58° and max depth 4000 mm (shaders/pt_cloud.comp:23-28),
+avoidance/bump constants (pt_cloud.comp:32-39), the TCP bind address (src/path.rs:133),
+and the model path (src/yolact.rs:19).  Here those constants become data: one frozen
+dataclass tree with sensible defaults equal to the reference's values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """RGB-D camera geometry (reference: RealSense D435 over OpenNI2).
+
+    Defaults match shaders/pt_cloud.comp:23-28 — 640×480 frames, 87°×58° FOV,
+    4 m depth clamp.
+    """
+
+    width: int = 640
+    height: int = 480
+    x_fov: float = 1.51843644924  # 87 deg, radians
+    y_fov: float = 1.01229096616  # 58 deg, radians
+    max_depth_mm: float = 4000.0
+    fps: float = 30.0
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """YOLACT model family configuration.
+
+    The reference ran a MobileNetV2-backbone YOLACT variant as a quantized tflite
+    blob with a 224×224×3 u8 input and a 28×28×81 per-pixel class map output
+    (data/FRC_model_edgetpu.log, src/yolact.rs:91,108).  We build the *full* YOLACT
+    graph (backbone+FPN, protonet, prediction heads, semantic-seg head) from scratch.
+    """
+
+    name: str = "yolact_mnv2_fpn"
+    backbone: str = "mobilenetv2"  # "mobilenetv2" | "resnet18" | "resnet50"
+    input_size: tuple[int, int] = (256, 320)  # (H, W); any SAME-padded size works
+    num_classes: int = 81  # COCO-style head width; channels 0-3 meaningful (§2.3)
+    meaningful_classes: int = 4  # 0 bg, 1 red robot, 2 blue robot, 3 ball
+    fpn_channels: int = 128
+    fpn_levels: int = 5  # P3..P7
+    num_prototypes: int = 32
+    proto_channels: int = 128
+    head_channels: int = 128
+    anchor_aspect_ratios: tuple[float, ...] = (1.0, 0.5, 2.0)
+    anchor_scales: tuple[float, ...] = (24.0, 48.0, 96.0, 192.0, 384.0)
+    width_mult: float = 1.0  # MobileNetV2 width multiplier
+    dtype: str = "bfloat16"  # compute dtype for conv stack (MXU-friendly)
+    # Detection post-processing
+    max_detections: int = 32
+    score_threshold: float = 0.05
+    nms_iou_threshold: float = 0.5
+    nms_top_k: int = 64
+    mask_threshold: float = 0.5
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchor_aspect_ratios)
+
+    @property
+    def strides(self) -> tuple[int, ...]:
+        return tuple(8 * (2**i) for i in range(self.fpn_levels))
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    """Depth→birdseye occupancy fusion constants (shaders/pt_cloud.comp:30-39)."""
+
+    bot_avoidance_const: float = 100.0
+    bot_norm_const: int = 20  # robot bump radius, px
+    terrain_norm_const: int = 10  # terrain bump radius, px
+    bump_err: float = 0.1
+    max_balls: int = 100  # Balls SSBO is vec4[100] (pt_cloud.comp:16-20)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Multi-source shortest-path planner (src/path.rs:25-120).
+
+    The reference seeds at most 3 balls (path.rs:37) and backtracks from the
+    bottom-center node 640·480−240 (path.rs:93).  ``backend`` selects the host
+    C++ Dijkstra, a NumPy fallback, or on-TPU Bellman-Ford relaxation.
+    """
+
+    max_seed_balls: int = 3
+    backend: str = "auto"  # "auto" | "native" | "numpy" | "tpu"
+    tpu_max_iters: int = 2048  # Bellman-Ford iteration cap for the TPU backend
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """TCP control plane (src/path.rs:132-180)."""
+
+    host: str = "127.0.0.1"
+    port: int = 8080
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (the reference is inference-only; weights were a
+    frozen tflite blob — we own the full training loop)."""
+
+    batch_size: int = 8
+    learning_rate: float = 1e-3
+    weight_decay: float = 5e-4
+    warmup_steps: int = 500
+    total_steps: int = 20_000
+    # YOLACT loss weights (cls, box, mask, semantic) per the YOLACT paper
+    loss_weights: tuple[float, float, float, float] = (1.0, 1.5, 6.125, 1.0)
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level configuration: one object wires the whole frame→path pipeline."""
+
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    geometry: GeometryConfig = dataclasses.field(default_factory=GeometryConfig)
+    planner: PlannerConfig = dataclasses.field(default_factory=PlannerConfig)
+    server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # Legacy tile-parity mode: resize 640×480→448×224 and run two 224×224 tiles
+    # (src/yolact.rs:207-217).  Off by default — XLA has no fixed input window,
+    # so the idiomatic path is one full-frame pass.
+    tile_parity: bool = False
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def degrees(rad: float) -> float:
+    return rad * 180.0 / math.pi
+
+
+def validate(cfg: PipelineConfig) -> Sequence[str]:
+    """Return a list of human-readable config problems (empty = valid)."""
+    problems = []
+    h, w = cfg.model.input_size
+    if h % 8 or w % 8:
+        problems.append(f"model.input_size {cfg.model.input_size} not divisible by 8")
+    if cfg.model.fpn_levels != len(cfg.model.anchor_scales):
+        problems.append("anchor_scales must have one entry per FPN level")
+    if cfg.model.meaningful_classes > cfg.model.num_classes:
+        problems.append("meaningful_classes exceeds num_classes")
+    if cfg.planner.max_seed_balls < 1:
+        problems.append("planner.max_seed_balls must be >= 1")
+    return problems

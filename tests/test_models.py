@@ -1,0 +1,117 @@
+"""Model-stack tests: shapes, anchor consistency, reference-parity output map,
+and the fused Pallas mask kernel vs the jnp oracle."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tod_tpu.core.config import ModelConfig
+from tod_tpu.kernels.mask_assembly import assemble_crop_masks
+from tod_tpu.models import create_model
+from tod_tpu.models.yolact import detect
+from tod_tpu.ops.masks import assemble_masks, crop_masks
+
+TINY = ModelConfig(
+    input_size=(128, 160),
+    fpn_channels=32,
+    proto_channels=32,
+    head_channels=32,
+    width_mult=0.5,
+    nms_top_k=16,
+    max_detections=8,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model, anchors = create_model(TINY)
+    x = jnp.zeros((1, *TINY.input_size, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, anchors, params
+
+
+class TestYolactGraph:
+    def test_output_shapes(self, tiny_model):
+        model, anchors, params = tiny_model
+        x = jnp.zeros((1, *TINY.input_size, 3), jnp.bfloat16)
+        out = model.apply(params, x, train=False)
+        a = anchors.shape[0]
+        assert out.loc.shape == (1, a, 4)
+        assert out.conf.shape == (1, a, TINY.num_classes)
+        assert out.coeff.shape == (1, a, TINY.num_prototypes)
+        # protonet at input/4, semantic head at input/8
+        assert out.prototypes.shape == (1, 32, 40, TINY.num_prototypes)
+        assert out.sem_logits.shape == (1, 16, 20, TINY.num_classes)
+
+    def test_coeff_tanh_bounded(self, tiny_model):
+        model, _, params = tiny_model
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, *TINY.input_size, 3)).astype(
+            jnp.bfloat16
+        )
+        out = model.apply(params, x, train=False)
+        c = np.asarray(out.coeff)
+        assert (c >= -1).all() and (c <= 1).all()
+
+    def test_detect_static_shapes(self, tiny_model):
+        model, anchors, params = tiny_model
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, *TINY.input_size, 3)).astype(
+            jnp.bfloat16
+        )
+        out = model.apply(params, x, train=False)
+        dets = detect(out, TINY, anchors, use_pallas=False)
+        n = TINY.max_detections
+        assert dets.boxes.shape == (n, 4)
+        assert dets.masks.shape == (n, 32, 40)
+        assert dets.class_map.shape == TINY.input_size
+        assert dets.id_map.shape == TINY.input_size
+
+    def test_jit_forward(self, tiny_model):
+        model, anchors, params = tiny_model
+
+        @jax.jit
+        def fwd(p, x):
+            return model.apply(p, x, train=False)
+
+        x = jnp.zeros((1, *TINY.input_size, 3), jnp.bfloat16)
+        out = fwd(params, x)
+        assert out.loc.shape[1] == anchors.shape[0]
+
+    def test_reference_parity_semantic_shape(self):
+        # 224×224 input → 28×28×81 semantic map, the reference's consumed
+        # output tensor shape (src/yolact.rs:91,108)
+        cfg = dataclasses.replace(TINY, input_size=(224, 224))
+        model, _ = create_model(cfg)
+        x = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(params, x, train=False)
+        assert out.sem_logits.shape == (1, 28, 28, 81)
+
+    def test_resnet_backbone_family(self):
+        cfg = dataclasses.replace(TINY, name="yolact_r18_fpn", backbone="resnet18")
+        model, anchors = create_model(cfg)
+        x = jnp.zeros((1, *cfg.input_size, 3), jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(params, x, train=False)
+        assert out.loc.shape == (1, anchors.shape[0], 4)
+
+
+class TestMaskKernel:
+    def test_pallas_matches_jnp_oracle(self):
+        rng = np.random.default_rng(0)
+        protos = rng.normal(size=(32, 40, 16)).astype(np.float32)
+        coeffs = rng.normal(size=(8, 16)).astype(np.float32)
+        boxes = np.array(
+            [[0.0, 0.0, 1.0, 1.0]] * 4 + [[0.2, 0.3, 0.7, 0.9]] * 4, np.float32
+        )
+        got = np.asarray(
+            assemble_crop_masks(
+                jnp.asarray(protos), jnp.asarray(coeffs), jnp.asarray(boxes)
+            )
+        )
+        want = np.asarray(
+            crop_masks(assemble_masks(jnp.asarray(protos), jnp.asarray(coeffs)), boxes)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

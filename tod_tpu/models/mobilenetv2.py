@@ -1,0 +1,119 @@
+"""MobileNetV2 backbone, from scratch in Flax.
+
+The reference's model is a MobileNetV2-backbone YOLACT variant shipped as an
+opaque tflite blob (data/README.md:10; op inventory CONV_2D×64,
+DEPTHWISE_CONV_2D×15, ADD×11 inverted-residual skips — data/FRC_model_edgetpu.log,
+SURVEY.md §2.3).  This is the from-scratch float graph: standard MobileNetV2
+inverted-residual stack, returning the C3/C4/C5 feature pyramid taps for FPN.
+
+TPU notes: NHWC layout throughout (XLA:TPU's native conv layout), bfloat16
+compute with float32 params/batch-stats, SAME padding so any input size works
+(no fixed 224×224 window like the Edge TPU, src/yolact.rs:143-158).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """Round channel counts like the MobileNetV2 paper (multiples of 8 — which
+    also keeps lane tiling friendly on TPU)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=self.stride,
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, dtype=jnp.float32
+        )(x)
+        if self.act:
+            x = nn.relu6(x)
+        return x.astype(self.dtype)
+
+
+class InvertedResidual(nn.Module):
+    features: int
+    stride: int
+    expand: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        hidden = inp * self.expand
+        y = x
+        if self.expand != 1:
+            y = ConvBN(hidden, kernel=1, dtype=self.dtype)(y, train)
+        # depthwise
+        y = ConvBN(hidden, kernel=3, stride=self.stride, groups=hidden, dtype=self.dtype)(
+            y, train
+        )
+        # linear projection
+        y = ConvBN(self.features, kernel=1, act=False, dtype=self.dtype)(y, train)
+        if self.stride == 1 and inp == self.features:
+            y = y + x  # the ADD×11 skips in the reference op inventory
+        return y
+
+
+# (expand_ratio, channels, num_blocks, first_stride)
+_MNV2_CFG: Sequence[tuple[int, int, int, int]] = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),  # stride 4
+    (6, 32, 3, 2),  # stride 8  → C3 tap
+    (6, 64, 4, 2),  # stride 16
+    (6, 96, 3, 1),  #            → C4 tap
+    (6, 160, 3, 2),  # stride 32
+    (6, 320, 1, 1),  #           → C5 tap
+)
+
+
+class MobileNetV2(nn.Module):
+    """Returns (C3, C4, C5) at strides (8, 16, 32)."""
+
+    width_mult: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(_make_divisible(32 * self.width_mult), stride=2, dtype=self.dtype)(
+            x, train
+        )
+        taps = {}
+        for stage, (t, c, n, s) in enumerate(_MNV2_CFG):
+            feats = _make_divisible(c * self.width_mult)
+            for i in range(n):
+                x = InvertedResidual(
+                    feats, stride=s if i == 0 else 1, expand=t, dtype=self.dtype
+                )(x, train)
+            if stage == 2:
+                taps["c3"] = x
+            elif stage == 4:
+                taps["c4"] = x
+            elif stage == 6:
+                taps["c5"] = x
+        return taps["c3"], taps["c4"], taps["c5"]

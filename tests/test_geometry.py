@@ -1,0 +1,155 @@
+"""Geometry fusion tests: jnp implementations vs a literal per-source NumPy
+oracle that mirrors the GLSL shader semantics (pt_cloud.comp / pt_cloud_weights.comp)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tod_tpu.core.config import CameraConfig, GeometryConfig
+from tod_tpu.core.types import NEIGHBOR_OFFSETS
+from tod_tpu.geometry import (
+    ball_centroids,
+    birdseye_project,
+    connection_weights,
+    depth_correction_factors,
+    fuse_scene,
+    occupancy_map,
+)
+
+CAM = CameraConfig(width=40, height=32)
+GEOM = GeometryConfig(terrain_norm_const=3, bot_norm_const=5)
+
+
+def _oracle_map(depth, cls, cam, geom):
+    """Literal re-expression of pt_cloud.comp's scatter semantics: per source
+    pixel, bump a (2L)² neighborhood with uint-truncated sigmoid values and
+    max-accumulate; strict-interior bounds check."""
+    h, w = depth.shape
+    out = np.zeros((h, w), np.float64)
+    for y in range(h):
+        for x in range(w):
+            d = float(depth[y, x])
+            d *= math.cos(math.atan(math.tan(cam.y_fov / 2) * y * 2.0 / h))
+            d *= math.cos(math.atan(math.tan(cam.x_fov / 2) * x * 2.0 / w))
+            z = int(h * d / cam.max_depth_mm)  # GLSL int() truncates toward 0
+            py, px = h - z, x
+            c = int(cls[y, x])
+            if c == 0:
+                val, L = float(y), geom.terrain_norm_const
+            elif c in (1, 2):
+                val, L = geom.bot_avoidance_const, geom.bot_norm_const
+            else:
+                continue  # ball
+            if val <= geom.bump_err:
+                continue  # bump of ~zero height contributes nothing visible
+            c1 = val / geom.bump_err - 1.0
+            c2 = 2.0 / L
+            for dy in range(-L, L):
+                for dx in range(-L, L):
+                    ly, lx = py + dy, px + dx
+                    if 0 < lx < w - 1 and 0 < ly < h - 1:
+                        prox = math.sqrt(dy * dy + dx * dx)
+                        y_add = val / (1.0 + c1 ** (c2 * prox - 1.0))
+                        out[ly, lx] = max(out[ly, lx], float(int(y_add)))
+    return out.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def scene_inputs():
+    rng = np.random.default_rng(7)
+    h, w = CAM.height, CAM.width
+    depth = rng.integers(200, 3500, (h, w)).astype(np.uint16)
+    cls = np.zeros((h, w), np.uint8)
+    cls[5:9, 6:10] = 1  # red robot blob
+    cls[20:24, 25:30] = 3  # ball blob
+    cls[12:14, 30:33] = 2  # blue robot blob
+    ids = np.full((h, w), -1, np.int32)
+    ids[20:24, 25:30] = 0
+    return depth, cls, ids
+
+
+class TestProjection:
+    def test_correction_at_origin_is_identity(self):
+        f = np.asarray(depth_correction_factors(CAM, (CAM.height, CAM.width)))
+        assert f[0, 0] == pytest.approx(1.0)
+        assert (f <= 1.0 + 1e-6).all() and (f > 0).all()
+
+    def test_birdseye_rows_decrease_with_depth(self):
+        depth = np.zeros((CAM.height, CAM.width), np.uint16)
+        depth[0, 0] = 1000
+        depth[0, 1] = 3000
+        by, bx, z = birdseye_project(jnp.asarray(depth), CAM)
+        by, z = np.asarray(by), np.asarray(z)
+        assert by[0, 1] < by[0, 0]  # farther → higher up the map
+        assert z[0, 0] == int(CAM.height * 1000 / CAM.max_depth_mm)
+
+
+class TestOccupancy:
+    def test_matches_per_source_oracle(self, scene_inputs):
+        depth, cls, _ = scene_inputs
+        got = np.asarray(
+            occupancy_map(jnp.asarray(depth), jnp.asarray(cls), CAM, GEOM)
+        )
+        want = _oracle_map(depth, cls, CAM, GEOM)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_border_never_written(self, scene_inputs):
+        depth, cls, _ = scene_inputs
+        got = np.asarray(
+            occupancy_map(jnp.asarray(depth), jnp.asarray(cls), CAM, GEOM)
+        )
+        assert (got[0, :] == 0).all() and (got[-1, :] == 0).all()
+        assert (got[:, 0] == 0).all() and (got[:, -1] == 0).all()
+
+
+class TestBalls:
+    def test_centroid_mean_and_count(self, scene_inputs):
+        depth, cls, ids = scene_inputs
+        balls = np.asarray(
+            ball_centroids(jnp.asarray(depth), jnp.asarray(cls), jnp.asarray(ids), CAM, GEOM)
+        )
+        assert balls.shape == (GEOM.max_balls, 4)
+        by, bx, _ = (np.asarray(a) for a in birdseye_project(jnp.asarray(depth), CAM))
+        sel = cls == 3
+        assert balls[0, 2] == sel.sum()
+        assert balls[0, 0] == pytest.approx(bx[sel].mean(), abs=1e-3)
+        assert balls[0, 1] == pytest.approx(by[sel].mean(), abs=1e-3)
+        assert (balls[1:, 2] == 0).all()
+
+
+class TestConnections:
+    def test_weights_against_direct_formula(self):
+        rng = np.random.default_rng(3)
+        hm = rng.uniform(0, 50, (10, 12)).astype(np.float32)
+        pos, conns = connection_weights(jnp.asarray(hm))
+        pos, conns = np.asarray(pos), np.asarray(conns)
+        h, w = hm.shape
+        # pos = (x, height, y) per pt_cloud_weights.comp:59-69
+        assert pos[3, 4, 0] == 4 and pos[3, 4, 2] == 3 and pos[3, 4, 1] == hm[3, 4]
+        for y in (0, 4, 9):
+            for x in (0, 5, 11):
+                for i, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < h and 0 <= nx < w:
+                        want = math.sqrt(
+                            dx * dx + dy * dy + (hm[y, x] - hm[ny, nx]) ** 2
+                        )
+                        assert conns[y, x, i] == pytest.approx(want, rel=1e-5)
+                    else:
+                        assert conns[y, x, i] == -1.0
+
+
+class TestFuseScene:
+    def test_end_to_end_scene(self, scene_inputs):
+        depth, cls, ids = scene_inputs
+        scene = fuse_scene(
+            jnp.asarray(depth), jnp.asarray(cls), jnp.asarray(ids), CAM, GEOM
+        )
+        assert scene.height.shape == (CAM.height, CAM.width)
+        assert scene.pos.shape == (CAM.height, CAM.width, 3)
+        assert scene.balls.shape == (GEOM.max_balls, 4)
+        assert scene.connections.shape == (CAM.height, CAM.width, 8)
+        # robots must leave a tall avoidance plateau (bump of 100 minus err band)
+        assert float(np.asarray(scene.height).max()) >= GEOM.bot_avoidance_const * 0.9

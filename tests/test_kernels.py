@@ -1,0 +1,53 @@
+"""Pallas kernels (interpret mode on CPU) vs their jnp oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tod_tpu.core.config import CameraConfig, GeometryConfig
+from tod_tpu.geometry.fusion import _dilate_peaks, occupancy_map
+from tod_tpu.kernels.bump import dilate_peaks
+
+
+CAM = CameraConfig(width=40, height=32)
+GEOM = GeometryConfig(terrain_norm_const=3, bot_norm_const=5)
+
+
+class TestBumpKernel:
+    def test_variable_val_matches_jnp(self):
+        rng = np.random.default_rng(0)
+        h, w, L = 16, 24, 3
+        ext = np.zeros((h + 2 * L, w + 2 * L), np.float32)
+        ys = rng.integers(0, h + 2 * L, 30)
+        xs = rng.integers(0, w + 2 * L, 30)
+        ext[ys, xs] = rng.uniform(1, 30, 30)
+        got = np.asarray(dilate_peaks(jnp.asarray(ext), L, 0.1, (h, w)))
+        want = np.asarray(_dilate_peaks(jnp.asarray(ext), L, 0.1, (h, w)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_constant_val_matches_jnp(self):
+        rng = np.random.default_rng(1)
+        h, w, L = 16, 24, 5
+        ext = np.zeros((h + 2 * L, w + 2 * L), np.float32)
+        ys = rng.integers(0, h + 2 * L, 20)
+        xs = rng.integers(0, w + 2 * L, 20)
+        ext[ys, xs] = 100.0
+        got = np.asarray(
+            dilate_peaks(jnp.asarray(ext), L, 0.1, (h, w), constant_val=100.0)
+        )
+        want = np.asarray(_dilate_peaks(jnp.asarray(ext), L, 0.1, (h, w)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_occupancy_pallas_path_matches_jnp_path(self):
+        rng = np.random.default_rng(7)
+        h, w = CAM.height, CAM.width
+        depth = rng.integers(200, 3500, (h, w)).astype(np.uint16)
+        cls = np.zeros((h, w), np.uint8)
+        cls[5:9, 6:10] = 1
+        cls[12:14, 30:33] = 2
+        a = np.asarray(occupancy_map(jnp.asarray(depth), jnp.asarray(cls), CAM, GEOM))
+        b = np.asarray(
+            occupancy_map(
+                jnp.asarray(depth), jnp.asarray(cls), CAM, GEOM, use_pallas=True
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=1e-4)

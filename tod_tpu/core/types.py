@@ -96,15 +96,19 @@ class Scene:
 
 # 8-neighbor displacement order used throughout geometry + planner.
 # Index i: (dy, dx). Matches connections[..., i].
+# Order reproduces the reference readback concat [connections0, connections1]
+# (src/scene.rs:324-327): after the weights shader's 3-stage exchange,
+# connections0 holds distances to [N, NE, E, SE] and connections1 to
+# [S, SW, W, NW] (traced through shaders/pt_cloud_weights.comp:77-122).
 NEIGHBOR_OFFSETS: tuple[tuple[int, int], ...] = (
-    (1, 0),  # S
-    (1, -1),  # SW
-    (0, -1),  # W
-    (-1, -1),  # NW
     (-1, 0),  # N
     (-1, 1),  # NE
     (0, 1),  # E
     (1, 1),  # SE
+    (1, 0),  # S
+    (1, -1),  # SW
+    (0, -1),  # W
+    (-1, -1),  # NW
 )
 
 

@@ -1,0 +1,248 @@
+"""Depth + class-mask → birdseye occupancy scene fusion (jnp reference impls).
+
+TPU-native replacement for the reference's Vulkan compute stage
+(src/scene.rs:147-331 + shaders/pt_cloud.comp + shaders/pt_cloud_weights.comp).
+The pipeline per frame:
+
+1. perspective depth correction + birdseye projection  (pt_cloud.comp:93-114)
+2. obstacle "bump" writes with max combination         (pt_cloud.comp:45-76,116-123)
+3. ball centroid accumulation by instance id           (pt_cloud.comp:78-82,120)
+4. world positions + 8-neighbor connection weights     (pt_cloud_weights.comp)
+
+Design notes (SURVEY.md §7 "Hard parts"):
+
+- The shader *scatters* each source pixel's sigmoid bump into a (2L)² neighborhood
+  with ``imageAtomicMax``.  On TPU we invert this into a two-step gather:
+  (a) scatter-max each source's peak **value** into its birdseye cell (a cheap
+  1-element scatter), then (b) a dilation pass where every output cell
+  max-reduces ``g(peak, r)`` over the displacement window.  This is exact w.r.t.
+  the reference because ``g(v, r)`` is monotone in v over the region where the
+  shader's ``uint()`` truncation yields a nonzero contribution, and
+  ``floor`` commutes with ``max``.
+- The weights shader's 3-stage barrier dance exists only because GLSL invocations
+  can't read neighbors' registers (its derivation doc,
+  shaders/parallel_connections_algorithm.md); in an array model the same result
+  is 8 shifted subtractions.
+- Everything here is pure jnp (the correctness reference).  The hot dilation and
+  connections kernels have Pallas implementations in ``tod_tpu.kernels`` that are
+  validated against these.
+
+Latent reference bugs reproduced as *intent* (SURVEY.md §3.6): the map image is
+treated as zero-initialized (the shader never clears it); class/id channels
+reach this stage intact (the ``&``-packing bug would zero them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tod_tpu.core.config import CameraConfig, GeometryConfig
+from tod_tpu.core.types import NEIGHBOR_OFFSETS, Scene
+
+
+def depth_correction_factors(cam: CameraConfig, shape: tuple[int, int]):
+    """Per-pixel perspective correction ``cos(atan(tan(fov/2)·2c/dim))`` for both
+    axes (pt_cloud.comp:93-95; the reference's coordinate convention — pixel
+    index scaled by 2/dim, not centered — is reproduced verbatim)."""
+    h, w = shape
+    y = jnp.arange(h, dtype=jnp.float32)
+    x = jnp.arange(w, dtype=jnp.float32)
+    fy = jnp.cos(jnp.arctan(jnp.tan(cam.y_fov / 2.0) * y * 2.0 / h))
+    fx = jnp.cos(jnp.arctan(jnp.tan(cam.x_fov / 2.0) * x * 2.0 / w))
+    return fy[:, None] * fx[None, :]
+
+
+def birdseye_project(depth_mm, cam: CameraConfig):
+    """Depth (H, W) in mm → (bird_y, bird_x, z_coord) int32 birdseye coords.
+
+    ``z = floor(H · depth_corrected / max_depth)``; birdseye row is ``H − z``
+    (z=0 at the bottom of the map, pt_cloud.comp:98,114).  Coordinates may fall
+    outside the grid (depth beyond max_depth_in is not clamped by the shader;
+    out-of-bounds image writes are discarded) — callers mask.
+    """
+    h, w = depth_mm.shape
+    corr = depth_correction_factors(cam, (h, w))
+    depth_c = depth_mm.astype(jnp.float32) * corr
+    z = jnp.floor(h * depth_c / cam.max_depth_mm).astype(jnp.int32)
+    bird_y = h - z
+    bird_x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+    return bird_y, bird_x, z
+
+
+def _bump_value(val, prox, bump_err: float):
+    """The sigmoid bump ``val / (1 + C1^(C2·prox − 1))`` (pt_cloud.comp:59-70),
+    with C1 = val/err − 1, C2 = 2/bump_size folded in by the caller via prox
+    scaling.  ``val`` and ``prox`` broadcast."""
+    c1 = val / bump_err - 1.0
+    # C1 <= 0 (val <= err) would NaN under pow; such sources contribute nothing
+    # visible after uint() truncation, so clamp the base.
+    c1 = jnp.maximum(c1, 1e-6)
+    return val / (1.0 + jnp.power(c1, prox))
+
+
+def _dilate_peaks(peaks_ext, bump_size: int, bump_err: float, out_shape):
+    """Max-reduce ``floor(g(peak, r))`` over the (2L)² displacement window.
+
+    peaks_ext: (H + 2P, W + 2P) f32 peak values on the P-padded grid.
+    The displacement range is [−L, L−1] in each axis, exactly the shader's loop
+    ``origin = pos − L; for x in [0, 2L)`` (pt_cloud.comp:59-64).
+    Returns (H, W) f32 (integral values — uint-truncated like the atomic store).
+    """
+    h, w = out_shape
+    pad = (peaks_ext.shape[0] - h) // 2
+    L = bump_size
+    c2 = 2.0 / float(L)
+    side = 2 * L
+
+    def body(i, acc):
+        dy = i // side - L
+        dx = i % side - L
+        prox = jnp.sqrt(jnp.float32(dy * dy + dx * dx))
+        # window of sources at displacement (dy, dx) contributing to each output:
+        # out[o] ← peak[o - d]  (gather formulation of the scatter)
+        src = jax.lax.dynamic_slice(peaks_ext, (pad - dy, pad - dx), (h, w))
+        contrib = jnp.floor(_bump_value(src, c2 * prox - 1.0, bump_err))
+        return jnp.maximum(acc, jnp.where(src > 0, contrib, 0.0))
+
+    return jax.lax.fori_loop(0, side * side, body, jnp.zeros((h, w), jnp.float32))
+
+
+def occupancy_map(
+    depth_mm,
+    cls_map,
+    cam: CameraConfig,
+    geom: GeometryConfig,
+    use_pallas: bool = False,
+):
+    """Fused occupancy/height map (the R32_UINT ``map`` image).
+
+    Terrain pixels (class 0) bump their own image row ``y`` with radius
+    ``terrain_norm_const``; robots (classes 1, 2) bump the constant
+    ``bot_avoidance_const`` with radius ``bot_norm_const``
+    (pt_cloud.comp:108-123).  Balls (class 3) write no bump.
+    Returns (H, W) f32 of integral values.
+    """
+    h, w = depth_mm.shape
+    bird_y, bird_x, _ = birdseye_project(depth_mm, cam)
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+
+    # Interior-only writes: the shader's bounds check is strict
+    # (0 < loc < dim-1, pt_cloud.comp:67) — exclude the outermost ring.
+    def scatter_peaks(src_mask, values, pad):
+        ext = jnp.zeros((h + 2 * pad, w + 2 * pad), jnp.float32)
+        yy = (bird_y + pad).reshape(-1)
+        xx = (bird_x + pad).reshape(-1)
+        vals = jnp.where(src_mask, values, 0.0).reshape(-1)
+        # out-of-range indices are dropped by jnp scatter (mode="drop"),
+        # matching discarded OOB image writes
+        return ext.at[yy, xx].max(vals, mode="drop")
+
+    pad_t = geom.terrain_norm_const
+    pad_b = geom.bot_norm_const
+    terrain_peaks = scatter_peaks(cls_map == 0, rows, pad_t)
+    robot_peaks = scatter_peaks(
+        (cls_map == 1) | (cls_map == 2),
+        jnp.full((h, w), geom.bot_avoidance_const, jnp.float32),
+        pad_b,
+    )
+    if use_pallas:
+        from tod_tpu.kernels.bump import dilate_peaks as _dp
+
+        terrain = _dp(terrain_peaks, pad_t, geom.bump_err, (h, w))
+        robots = _dp(
+            robot_peaks,
+            pad_b,
+            geom.bump_err,
+            (h, w),
+            constant_val=geom.bot_avoidance_const,
+        )
+    else:
+        terrain = _dilate_peaks(terrain_peaks, pad_t, geom.bump_err, (h, w))
+        robots = _dilate_peaks(robot_peaks, pad_b, geom.bump_err, (h, w))
+    out = jnp.maximum(terrain, robots)
+    # strict-interior mask: the shader never writes the border ring
+    border = (
+        (jnp.arange(h)[:, None] > 0)
+        & (jnp.arange(h)[:, None] < h - 1)
+        & (jnp.arange(w)[None, :] > 0)
+        & (jnp.arange(w)[None, :] < w - 1)
+    )
+    return jnp.where(border, out, 0.0)
+
+
+def ball_centroids(depth_mm, cls_map, id_map, cam: CameraConfig, geom: GeometryConfig):
+    """Per-instance ball centroids in birdseye coords → (max_balls, 4) f32
+    ``(x̄, ȳ, count, 0)`` — the Balls SSBO layout (pt_cloud.comp:16-20,78-82).
+
+    The shader's racy running average converges to the plain mean of all
+    contributing pixels; we compute it directly as a segment mean by id.
+    """
+    h, w = depth_mm.shape
+    bird_y, bird_x, _ = birdseye_project(depth_mm, cam)
+    is_ball = (cls_map == 3) & (id_map >= 0)
+    seg = jnp.where(is_ball, id_map, geom.max_balls).reshape(-1)  # overflow slot
+    xs = bird_x.reshape(-1).astype(jnp.float32)
+    ys = bird_y.reshape(-1).astype(jnp.float32)
+    ones = jnp.where(is_ball.reshape(-1), 1.0, 0.0)
+    n = geom.max_balls + 1
+    sum_x = jax.ops.segment_sum(xs * ones, seg, num_segments=n)[:-1]
+    sum_y = jax.ops.segment_sum(ys * ones, seg, num_segments=n)[:-1]
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=n)[:-1]
+    mean_x = jnp.where(cnt > 0, sum_x / jnp.maximum(cnt, 1.0), 0.0)
+    mean_y = jnp.where(cnt > 0, sum_y / jnp.maximum(cnt, 1.0), 0.0)
+    return jnp.stack([mean_x, mean_y, cnt, jnp.zeros_like(cnt)], axis=-1)
+
+
+def connection_weights(height_map, use_pallas: bool = False):
+    """World positions + 8-neighbor Euclidean edge weights.
+
+    Replaces pt_cloud_weights.comp: ``world[p] = (x, height[p], y)`` and
+    ``connections[p][i] = |world[p] − world[p + offset_i]|``, −1 for off-grid
+    neighbors.  Neighbor order: ``NEIGHBOR_OFFSETS`` (N, NE, E, SE, S, SW, W, NW)
+    = the reference's readback concat order (src/scene.rs:324-327).
+
+    Returns (pos (H, W, 3) f32, connections (H, W, 8) f32).
+    """
+    if use_pallas:
+        from tod_tpu.kernels.connections import connection_weights as _cw
+
+        return _cw(height_map)
+    h, w = height_map.shape
+    hm = height_map.astype(jnp.float32)
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    pos = jnp.stack([xx, hm, yy], axis=-1)
+
+    conns = []
+    big = jnp.inf
+    padded = jnp.pad(hm, 1, constant_values=jnp.nan)
+    for dy, dx in NEIGHBOR_OFFSETS:
+        nh = padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        d = jnp.sqrt(jnp.float32(dx * dx + dy * dy) + (hm - nh) ** 2)
+        conns.append(jnp.where(jnp.isnan(nh), -1.0, d))
+    return pos, jnp.stack(conns, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "geom", "use_pallas")
+)
+def fuse_scene(
+    depth_mm,
+    cls_map,
+    id_map,
+    cam: CameraConfig,
+    geom: GeometryConfig,
+    use_pallas: bool = False,
+) -> Scene:
+    """Full fusion: (depth u16 mm, class u8, id i32) maps → :class:`Scene`.
+
+    The on-device replacement for ``append_scene`` (src/scene.rs:147-331) — no
+    GPU↔CPU round trip: model outputs stay in HBM and feed straight in.
+    """
+    height = occupancy_map(depth_mm, cls_map, cam, geom, use_pallas=use_pallas)
+    balls = ball_centroids(depth_mm, cls_map, id_map, cam, geom)
+    pos, conns = connection_weights(height, use_pallas=use_pallas)
+    return Scene(height=height, pos=pos, balls=balls, connections=conns)

@@ -1,0 +1,158 @@
+"""Planner tests: three backends agree; paths descend cost monotonically."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tod_tpu.core.config import PlannerConfig
+from tod_tpu.core.types import NEIGHBOR_OFFSETS, Scene
+from tod_tpu.geometry.fusion import connection_weights
+from tod_tpu.planner import bellman_ford_grid, dijkstra_grid
+from tod_tpu.planner.api import plan
+from tod_tpu.planner.dijkstra import extract_directions, seeds_from_balls, start_node_yx
+from tod_tpu.native import loader
+
+
+def _scene_from_height(hm: np.ndarray, ball_yx=(2, 3), count=5.0) -> Scene:
+    pos, conns = connection_weights(jnp.asarray(hm))
+    balls = np.zeros((100, 4), np.float32)
+    balls[0] = [ball_yx[1], ball_yx[0], count, 0]  # (x, y, count, 0)
+    return Scene(
+        height=hm.astype(np.float32),
+        pos=np.asarray(pos),
+        balls=balls,
+        connections=np.asarray(conns),
+    )
+
+
+@pytest.fixture(scope="module")
+def wall_scene():
+    """Flat floor with a tall wall splitting the grid, one gap at the top."""
+    hm = np.zeros((12, 16), np.float32)
+    hm[2:, 8] = 100.0  # wall column with gap at rows 0-1
+    return _scene_from_height(hm, ball_yx=(6, 12))
+
+
+class TestDijkstra:
+    def test_flat_grid_distance_is_euclidean_chain(self):
+        hm = np.zeros((8, 8), np.float32)
+        _, conns = connection_weights(jnp.asarray(hm))
+        dist, parent = dijkstra_grid(hm, np.asarray(conns), [(0, 0)])
+        # straight E path: each hop costs 1
+        assert dist[0, 5] == pytest.approx(5.0)
+        # diagonal path: each hop costs sqrt(2)
+        assert dist[5, 5] == pytest.approx(5 * math.sqrt(2))
+
+    def test_wall_routes_through_gap(self, wall_scene):
+        s = wall_scene
+        dist, parent = dijkstra_grid(s.height, s.connections, [(6, 12)])
+        # node on the far side of the wall: path must detour via the gap rows,
+        # so its distance exceeds the straight-line lower bound by a lot
+        assert dist[6, 4] > 12
+        # walk the parent chain from (6,4); it must pass through a gap cell
+        y, x = 6, 4
+        hops = []
+        while parent[y, x] >= 0:
+            y, x = divmod(int(parent[y, x]), s.height.shape[1])
+            hops.append((y, x))
+        assert (6, 12) == hops[-1]
+        assert any(y <= 1 for y, x in hops), "path should cross the wall gap"
+
+    def test_native_matches_numpy(self, wall_scene):
+        if not loader.available():
+            pytest.skip("native lib unavailable")
+        from tod_tpu.planner.native import dijkstra_native
+
+        s = wall_scene
+        seeds = [(6, 12), (1, 2)]
+        d1, p1 = dijkstra_grid(s.height, s.connections, seeds)
+        d2, p2 = dijkstra_native(s.height, s.connections, seeds)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+        # parents may differ between equal-cost paths; distances must not
+        assert np.isinf(d1).sum() == np.isinf(d2).sum()
+
+    def test_tpu_relaxation_matches_dijkstra(self, wall_scene):
+        s = wall_scene
+        seed_mask = np.zeros(s.height.shape, bool)
+        seed_mask[6, 12] = True
+        dist_bf, next_dir = bellman_ford_grid(
+            jnp.asarray(s.height), jnp.asarray(s.connections), jnp.asarray(seed_mask)
+        )
+        dist_dj, _ = dijkstra_grid(s.height, s.connections, [(6, 12)])
+        np.testing.assert_allclose(np.asarray(dist_bf), dist_dj, rtol=1e-4)
+        assert int(np.asarray(next_dir)[6, 12]) == -1
+
+
+class TestDirections:
+    def test_magnitudes_sum_to_total_cost(self, wall_scene):
+        s = wall_scene
+        dist, parent = dijkstra_grid(s.height, s.connections, [(6, 12)])
+        start = (11, 0)
+        dirs = extract_directions(dist, parent, s.pos, start)
+        assert len(dirs) > 0
+        total = sum(m for m, _ in dirs)
+        assert total == pytest.approx(dist[start], rel=1e-6)
+        assert dirs[0][1] == 0.0  # first rotation is 0 (src/path.rs:97)
+
+    def test_rotation_straight_line_is_pi(self):
+        # walking a straight line: consecutive segments are opposite vectors
+        # (prev−cur vs next−cur) → angle π
+        hm = np.zeros((4, 8), np.float32)
+        s = _scene_from_height(hm, ball_yx=(1, 6))
+        dist, parent = dijkstra_grid(s.height, s.connections, [(1, 6)])
+        dirs = extract_directions(dist, parent, s.pos, (1, 0))
+        for m, r in dirs[1:]:
+            assert r == pytest.approx(math.pi, abs=1e-5)
+
+    def test_unreachable_start_gives_empty(self):
+        hm = np.zeros((6, 6), np.float32)
+        pos, conns = connection_weights(jnp.asarray(hm))
+        conns = np.asarray(conns).copy()
+        conns[3, :, :] = -1.0  # sever row 3 edges both ways
+        conns[2, :, 4:8] = -1.0
+        conns[4, :, 0:4] = -1.0
+        dist, parent = dijkstra_grid(hm, conns, [(0, 0)])
+        assert not np.isfinite(dist[5, 5])
+        assert extract_directions(dist, parent, np.asarray(pos), (5, 5)) == []
+
+
+class TestPlanAPI:
+    def test_plan_returns_path(self, wall_scene):
+        p = plan(wall_scene, PlannerConfig(backend="numpy"))
+        assert p.created > 0
+        assert len(p.directions) > 0
+
+    def test_no_balls_empty_path(self):
+        hm = np.zeros((6, 6), np.float32)
+        s = _scene_from_height(hm)
+        s = Scene(
+            height=s.height, pos=s.pos, balls=np.zeros((100, 4), np.float32),
+            connections=s.connections,
+        )
+        p = plan(s, PlannerConfig(backend="numpy"))
+        assert p.directions == []
+
+    def test_backends_agree_on_total_cost(self, wall_scene):
+        totals = {}
+        for backend in ("numpy", "native", "tpu"):
+            if backend == "native" and not loader.available():
+                continue
+            p = plan(wall_scene, PlannerConfig(backend=backend))
+            totals[backend] = sum(m for m, _ in p.directions)
+        vals = list(totals.values())
+        for v in vals[1:]:
+            assert v == pytest.approx(vals[0], rel=1e-4)
+
+    def test_seeds_from_balls_ordering_and_validity(self):
+        balls = np.zeros((100, 4), np.float32)
+        balls[0] = [5, 5, 3, 0]
+        balls[1] = [1, 2, 10, 0]  # strongest
+        balls[2] = [50, 50, 7, 0]  # out of grid → skipped
+        seeds = seeds_from_balls(balls, 3, (10, 10))
+        assert seeds == [(2, 1), (5, 5)]
+
+    def test_start_node_matches_reference_literal(self):
+        # START_NODE = 640*480 − 240 → (479, 400) (src/path.rs:93)
+        assert start_node_yx((480, 640)) == (479, 400)

@@ -1,0 +1,77 @@
+// Native multi-source Dijkstra over the fused scene grid.
+//
+// The reference's planner is native code on the hot host path (Rust,
+// src/path.rs:25-120, with the latent bugs catalogued in SURVEY.md §3.6); this
+// is the C++ equivalent for the rebuilt framework: a correct priority-queue
+// Dijkstra over the H×W grid with 8-neighbor edges, called from Python via
+// ctypes (tod_tpu/planner/native.py).  Edge cost entering node n from neighbor
+// m: connections[n][dir(m→n reversed)] + |height[n] − height[m]|, matching
+// tod_tpu/planner/dijkstra.py (the NumPy oracle it is tested against).
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+// NEIGHBOR_OFFSETS order (tod_tpu/core/types.py): N, NE, E, SE, S, SW, W, NW
+constexpr int DY[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+constexpr int DX[8] = {0, 1, 1, 1, 0, -1, -1, -1};
+
+struct QNode {
+  double dist;
+  int32_t y, x;
+  bool operator>(const QNode& o) const { return dist > o.dist; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// height: (h*w) f32; conns: (h*w*8) f32, -1 = no edge; seeds: (n_seeds*2) i32
+// as (y, x) pairs.  Outputs: dist (h*w) f64 (INFINITY = unreached), parent
+// (h*w) i64 linear next-hop toward the nearest seed (-1 at seeds/unreached).
+// Returns 0 on success.
+int tod_dijkstra(const float* height, const float* conns, int h, int w,
+                 const int32_t* seeds, int n_seeds, double* dist,
+                 int64_t* parent) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  for (int64_t i = 0; i < n; ++i) {
+    dist[i] = INFINITY;
+    parent[i] = -1;
+  }
+  std::priority_queue<QNode, std::vector<QNode>, std::greater<QNode>> pq;
+  for (int s = 0; s < n_seeds; ++s) {
+    int32_t y = seeds[2 * s], x = seeds[2 * s + 1];
+    if (y < 0 || y >= h || x < 0 || x >= w) continue;
+    dist[static_cast<int64_t>(y) * w + x] = 0.0;
+    pq.push({0.0, y, x});
+  }
+  while (!pq.empty()) {
+    QNode top = pq.top();
+    pq.pop();
+    const int64_t idx = static_cast<int64_t>(top.y) * w + top.x;
+    if (top.dist > dist[idx]) continue;
+    for (int i = 0; i < 8; ++i) {
+      const int ny = top.y + DY[i], nx = top.x + DX[i];
+      if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+      const int64_t nidx = static_cast<int64_t>(ny) * w + nx;
+      // edge as seen from the node being entered: opposite direction index
+      const float c = conns[nidx * 8 + ((i + 4) & 7)];
+      if (c < 0.0f) continue;
+      const double nd =
+          top.dist + c + std::fabs(static_cast<double>(height[nidx]) -
+                                   static_cast<double>(height[idx]));
+      if (nd < dist[nidx]) {
+        dist[nidx] = nd;
+        parent[nidx] = idx;
+        pq.push({nd, static_cast<int32_t>(ny), static_cast<int32_t>(nx)});
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,96 @@
+"""TCP protocol tests: byte-exactness of the NewPath/GetPath wire format
+(SURVEY.md §4: loopback test incl. the 7-byte read and BE serialization)."""
+
+import socket
+import struct
+import time
+
+import pytest
+
+from tod_tpu.core.config import ServerConfig
+from tod_tpu.core.types import Path
+from tod_tpu.serve.client import PathClient
+from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
+
+
+@pytest.fixture()
+def server():
+    store = PathStore()
+    # port 0 → ephemeral, avoids collisions with the reference's literal 8080
+    t, srv = run_in_thread(store, ServerConfig(port=0))
+    yield store, srv
+    stop_thread_server(srv)
+    t.join(timeout=5)
+
+
+class TestWireFormat:
+    def test_serialize_layout(self):
+        p = Path(created=1700000000.7, directions=[(1.5, 0.25), (2.0, -1.0)])
+        raw = p.serialize()
+        assert raw[:8] == struct.pack(">Q", 1700000000)
+        assert raw[8:16] == struct.pack(">ff", 1.5, 0.25)
+        assert raw[16:24] == struct.pack(">ff", 2.0, -1.0)
+        back = Path.deserialize(raw)
+        assert back.created == 1700000000.0
+        assert back.directions == [(1.5, 0.25), (2.0, -1.0)]
+
+    def test_malformed_payload_rejected(self):
+        with pytest.raises(ValueError):
+            Path.deserialize(b"\x00" * 13)
+
+
+class TestServer:
+    def test_getpath_roundtrip(self, server):
+        store, srv = server
+        store.set(Path(created=1700000001.0, directions=[(3.0, 0.5)]))
+        with PathClient(port=srv.port) as c:
+            p = c.get_path()
+        assert p.created == 1700000001.0
+        assert p.directions == [(3.0, 0.5)]
+
+    def test_newpath_resets_and_acks(self, server):
+        store, srv = server
+        store.set(Path(created=1.0, directions=[(9.0, 9.0)]))
+        with PathClient(port=srv.port) as c:
+            assert c.new_path()
+        assert store.get().directions == []
+        assert store.get().created > 1.0
+
+    def test_raw_bytes_exact(self, server):
+        store, srv = server
+        store.set(Path(created=1700000002.0, directions=[(1.0, 2.0)]))
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(b"GetPath")
+        time.sleep(0.1)
+        data = s.recv(1024)
+        assert data == struct.pack(">Q", 1700000002) + struct.pack(">ff", 1.0, 2.0)
+        s.close()
+
+    def test_unknown_command_drops_connection(self, server):
+        _, srv = server
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(b"BadCmd!")
+        time.sleep(0.1)
+        assert s.recv(16) == b""  # server closed it
+        s.close()
+
+    def test_pipelined_commands_one_connection(self, server):
+        store, srv = server
+        store.set(Path(created=1700000003.0, directions=[]))
+        with PathClient(port=srv.port) as c:
+            p1 = c.get_path()
+            assert c.new_path()
+            p2 = c.get_path()
+        assert p1.created == 1700000003.0
+        assert p2.created >= time.time() - 60
+
+    def test_concurrent_connections(self, server):
+        store, srv = server
+        store.set(Path(created=1700000004.0, directions=[(1.0, 0.0)]))
+        clients = [PathClient(port=srv.port) for _ in range(5)]
+        try:
+            for c in clients:
+                assert c.get_path().created == 1700000004.0
+        finally:
+            for c in clients:
+                c.close()

@@ -1,0 +1,10 @@
+from tod_tpu.runtime.frame_source import (  # noqa: F401
+    FrameSource,
+    PNGSource,
+    RingSource,
+    SyntheticSource,
+    TraceSource,
+    write_trace,
+)
+from tod_tpu.runtime.profiler import FPSMeter, StageTimer  # noqa: F401
+from tod_tpu.runtime.engine import Engine  # noqa: F401

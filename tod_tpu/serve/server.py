@@ -1,0 +1,142 @@
+"""TCP path server: byte-compatible NewPath/GetPath control plane.
+
+Replaces ``handle_path_request`` (src/path.rs:132-180) with asyncio.  Wire
+protocol, unchanged:
+
+- client sends exactly 7 ASCII bytes: ``b"NewPath"`` or ``b"GetPath"``
+- ``NewPath`` → server resets the stored path to empty (stamped now) and
+  replies ``b"OK"`` (src/path.rs:153-166)
+- ``GetPath`` → server replies the serialized path: 8-byte big-endian unix
+  seconds then two big-endian f32s per direction (src/path.rs:17-21,167-172)
+- anything else → logged, connection dropped (src/path.rs:173-176)
+
+Connections are served concurrently (one task per connection, the tokio
+``spawn`` analog); multiple commands may be pipelined on one connection.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+import time
+
+from tod_tpu.core.config import ServerConfig
+from tod_tpu.core.types import Path
+
+log = logging.getLogger(__name__)
+
+
+class PathStore:
+    """Thread-safe holder of the current Path (the Arc<Mutex<Path>> analog,
+    src/main.rs:47-54).  The planner thread swaps in new paths; the server
+    reads them."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._path = Path(created=time.time(), directions=[])
+
+    def get(self) -> Path:
+        with self._lock:
+            return self._path
+
+    def set(self, path: Path) -> None:
+        with self._lock:
+            self._path = path
+
+    def reset(self) -> Path:
+        fresh = Path(created=time.time(), directions=[])
+        self.set(fresh)
+        return fresh
+
+
+class PathServer:
+    def __init__(self, store: PathStore, cfg: ServerConfig | None = None) -> None:
+        self.store = store
+        self.cfg = cfg or ServerConfig()
+        self._server: asyncio.AbstractServer | None = None
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        peer = writer.get_extra_info("peername")
+        try:
+            while True:
+                try:
+                    buf = await reader.readexactly(7)
+                except asyncio.IncompleteReadError:
+                    return  # socket closed (the Ok(0) branch, src/path.rs:144)
+                if buf == b"NewPath":
+                    self.store.reset()
+                    writer.write(b"OK")
+                    await writer.drain()
+                elif buf == b"GetPath":
+                    writer.write(self.store.get().serialize())
+                    await writer.drain()
+                else:
+                    log.error("RequestError(%r is not a request)", buf)
+                    return
+        except (ConnectionResetError, BrokenPipeError) as e:
+            log.error("failed to read/write socket; err = %r", e)
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except (ConnectionResetError, BrokenPipeError, OSError):
+                pass
+            del peer
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle, self.cfg.host, self.cfg.port
+        )
+
+    @property
+    def port(self) -> int:
+        assert self._server is not None
+        return self._server.sockets[0].getsockname()[1]
+
+    async def serve_forever(self) -> None:
+        if self._server is None:
+            await self.start()
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+            self._server = None
+
+
+def run_in_thread(store: PathStore, cfg: ServerConfig | None = None):
+    """Start the server on a daemon thread with its own event loop; returns
+    (thread, server, ready_event) — the runtime uses this so the TPU loop and
+    the control plane stay independent (the reference's tokio task split,
+    src/main.rs:56-61)."""
+    server = PathServer(store, cfg)
+    ready = threading.Event()
+    loop_holder: dict = {}
+
+    def _run():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        loop_holder["loop"] = loop
+        loop.run_until_complete(server.start())
+        ready.set()
+        try:
+            loop.run_forever()
+        finally:
+            loop.run_until_complete(server.stop())
+            loop.close()
+
+    t = threading.Thread(target=_run, daemon=True, name="tod-path-server")
+    t.start()
+    ready.wait(timeout=10)
+    server._loop = loop_holder.get("loop")  # type: ignore[attr-defined]
+    return t, server
+
+
+def stop_thread_server(server: PathServer) -> None:
+    loop = getattr(server, "_loop", None)
+    if loop is not None:
+        loop.call_soon_threadsafe(loop.stop)

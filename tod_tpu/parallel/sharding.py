@@ -1,0 +1,75 @@
+"""Sharding rules: params over tp, batch over dp, jit over the mesh.
+
+Tensor parallelism shards conv kernels on the output-channel axis (the lane
+dimension — where the MXU tiles anyway); XLA/GSPMD then propagates the channel
+sharding through the network and inserts the all-gathers/reduce-scatters on
+ICI.  Data parallelism shards the batch leading axis; gradient psums come from
+jit's partitioning of the backward pass.  This is the "pick a mesh, annotate
+shardings, let XLA insert collectives" recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _leaf_spec(leaf, tp_size: int) -> P:
+    shape = getattr(leaf, "shape", ())
+    if len(shape) == 4 and tp_size > 1 and shape[-1] % tp_size == 0:
+        # conv kernel (kh, kw, cin, cout): shard cout over tp
+        return P(None, None, None, "tp")
+    if len(shape) == 2 and tp_size > 1 and shape[-1] % tp_size == 0:
+        # dense kernel (cin, cout)
+        return P(None, "tp")
+    return P()  # replicate biases, norms, scalars, odd shapes
+
+
+def param_sharding_tree(tree: Any, mesh: Mesh) -> Any:
+    tp_size = mesh.shape["tp"]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, tp_size)), tree
+    )
+
+
+def batch_sharding(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(lambda _: NamedSharding(mesh, P("dp")), tree)
+
+
+def shard_train_step(step: Callable, state, mesh: Mesh):
+    """jit ``step`` over the mesh; returns (jitted_step, device_put state).
+
+    State (params/opt/batch-stats) shards per the tp rule; batches shard over
+    dp on their leading axis.  Works for any dp×tp factorization including
+    (n, 1) pure-DP and (1, n) pure-TP.
+    """
+    state_shardings = jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh.shape["tp"])), state
+    )
+    state = jax.device_put(state, state_shardings)
+    batch_sh = NamedSharding(mesh, P("dp"))
+    jitted = jax.jit(
+        step,
+        in_shardings=(state_shardings, batch_sh),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+    )
+    return jitted, state
+
+
+def shard_inference(fn: Callable, mesh: Mesh):
+    """jit a (params, batch) -> out function with dp-sharded batches and
+    tp-sharded params (batch inference scaling, SURVEY.md §2.5's optional
+    multi-chip DP)."""
+
+    def wrapper(params, batch):
+        return fn(params, batch)
+
+    batch_sh = NamedSharding(mesh, P("dp"))
+
+    def jit_with(params):
+        param_sh = param_sharding_tree(params, mesh)
+        return jax.jit(wrapper, in_shardings=(param_sh, batch_sh))
+
+    return jit_with

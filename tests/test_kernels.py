@@ -51,3 +51,19 @@ class TestBumpKernel:
             )
         )
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestConnectionsKernel:
+    def test_matches_jnp_oracle(self):
+        import jax.numpy as jnp
+        from tod_tpu.geometry.fusion import connection_weights as cw_jnp
+        from tod_tpu.kernels.connections import connection_weights as cw_pl
+
+        rng = np.random.default_rng(4)
+        hm = rng.uniform(0, 80, (16, 24)).astype(np.float32)
+        pos_a, conns_a = cw_jnp(jnp.asarray(hm))
+        pos_b, conns_b = cw_pl(jnp.asarray(hm))
+        np.testing.assert_allclose(np.asarray(pos_a), np.asarray(pos_b))
+        np.testing.assert_allclose(
+            np.asarray(conns_a), np.asarray(conns_b), atol=1e-5
+        )

@@ -110,6 +110,42 @@ def _dilate_peaks(peaks_ext, bump_size: int, bump_err: float, out_shape):
     return jax.lax.fori_loop(0, side * side, body, jnp.zeros((h, w), jnp.float32))
 
 
+def _dilate_const_separable(peaks_ext, bump_size: int, val: float, bump_err: float, out_shape):
+    """Separable exact dilation for a CONSTANT peak value (the robot class).
+
+    Radially-decreasing bump from a constant peak ⇒
+    ``max_d mask[o−d]·g(|d|) = g(√d²min(o))`` with d²min the windowed
+    min-distance² to a source — separable into a lane pass (min over dx of
+    dx²) and a sublane pass (min over dy of +dy²): 2·2L shifted minimums
+    instead of (2L)² displacement visits.  Exact vs the per-source oracle
+    because floor∘g is monotone non-increasing in r.
+
+    Used on the TPU path: the per-displacement kernel needs dynamic-offset
+    slices that this Mosaic toolchain cannot lower (see kernels/bump.py), and
+    XLA fuses these ~80 shifted minimums well (memory-bound, ~100 µs at VGA).
+    """
+    h, w = out_shape
+    pad = (peaks_ext.shape[0] - h) // 2
+    L = bump_size
+    far = jnp.float32(1e9)
+
+    rows = peaks_ext.shape[0]
+    acc = jnp.full((rows, w), far)
+    for dx in range(-L, L):
+        src = jax.lax.dynamic_slice(peaks_ext, (0, pad - dx), (rows, w))
+        acc = jnp.minimum(acc, jnp.where(src > 0, float(dx * dx), far))
+    d2 = jnp.full((h, w), far)
+    for dy in range(-L, L):
+        s = jax.lax.dynamic_slice(acc, (pad - dy, 0), (h, w))
+        d2 = jnp.minimum(d2, s + float(dy * dy))
+
+    c1 = val / bump_err - 1.0
+    c2 = 2.0 / L
+    r = jnp.sqrt(jnp.minimum(d2, far))
+    g = jnp.floor(val / (1.0 + jnp.power(jnp.float32(c1), c2 * r - 1.0)))
+    return jnp.where(d2 < far * 0.5, jnp.maximum(g, 0.0), 0.0)
+
+
 def occupancy_map(
     depth_mm,
     cls_map,
@@ -152,12 +188,11 @@ def occupancy_map(
         from tod_tpu.kernels.bump import dilate_peaks as _dp
 
         terrain = _dp(terrain_peaks, pad_t, geom.bump_err, (h, w))
-        robots = _dp(
-            robot_peaks,
-            pad_b,
-            geom.bump_err,
-            (h, w),
-            constant_val=geom.bot_avoidance_const,
+        # robots: constant peak value → separable closed form (exact); the
+        # XLA-fused version beats a Pallas displacement loop here and avoids
+        # the Mosaic dynamic-slice limitation (see kernels/bump.py docstring)
+        robots = _dilate_const_separable(
+            robot_peaks, pad_b, geom.bot_avoidance_const, geom.bump_err, (h, w)
         )
     else:
         terrain = _dilate_peaks(terrain_peaks, pad_t, geom.bump_err, (h, w))

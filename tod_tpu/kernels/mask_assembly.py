@@ -29,6 +29,7 @@ def _kernel(protos_ref, coeffs_ref, boxes_ref, out_ref, *, hm: int, wm: int):
     protos = protos_ref[:]  # (Hm*Wm, K)
     coeffs = coeffs_ref[:]  # (N, K)
     n = coeffs.shape[0]
+    hw = hm * wm
     # (N, K) · (Hm*Wm, K)^T → (N, Hm*Wm), contracting K without a transpose copy
     logits = jax.lax.dot_general(
         coeffs,
@@ -36,17 +37,22 @@ def _kernel(protos_ref, coeffs_ref, boxes_ref, out_ref, *, hm: int, wm: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    masks = jax.nn.sigmoid(logits).reshape(n, hm, wm)
-    # crop epilogue: zero outside each detection's box (pixel-center convention,
-    # identical to ops.masks.crop_masks)
-    ys = (jax.lax.broadcasted_iota(jnp.float32, (n, hm, wm), 1) + 0.5) / hm
-    xs = (jax.lax.broadcasted_iota(jnp.float32, (n, hm, wm), 2) + 0.5) / wm
+    masks = jax.nn.sigmoid(logits)  # (N, Hm*Wm)
+    # crop epilogue in FLAT layout: reshaping (N, Hm·Wm)→(N, Hm, Wm) inside the
+    # kernel splits the lane dimension, which the Mosaic compiler rejects; the
+    # wrapper reshapes after.  Pixel coords come from div/mod on a flat iota
+    # (integer iota only — tpu.iota has no float variant), bounds from
+    # lax.slice (fancy indexing would lower to an unsupported gather).
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, hw), 1)
+    ys = ((idx // wm).astype(jnp.float32) + 0.5) / hm
+    xs = ((idx % wm).astype(jnp.float32) + 0.5) / wm
     boxes = boxes_ref[:]  # (N, 4) y1x1y2x2
+
+    def bound(j):
+        return jax.lax.slice(boxes, (0, j), (n, j + 1))  # (N, 1), broadcasts
+
     inside = (
-        (ys >= boxes[:, 0, None, None])
-        & (ys <= boxes[:, 2, None, None])
-        & (xs >= boxes[:, 1, None, None])
-        & (xs <= boxes[:, 3, None, None])
+        (ys >= bound(0)) & (ys <= bound(2)) & (xs >= bound(1)) & (xs <= bound(3))
     )
     out_ref[:] = jnp.where(inside, masks, 0.0)
 
@@ -65,9 +71,9 @@ def assemble_crop_masks(prototypes, coeffs, boxes, interpret: bool | None = None
     n = coeffs.shape[0]
     protos2d = prototypes.reshape(hm * wm, k).astype(jnp.float32)
     kernel = functools.partial(_kernel, hm=hm, wm=wm)
-    return pl.pallas_call(
+    flat = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hm, wm), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, hm * wm), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -76,3 +82,4 @@ def assemble_crop_masks(prototypes, coeffs, boxes, interpret: bool | None = None
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(protos2d, coeffs.astype(jnp.float32), boxes.astype(jnp.float32))
+    return flat.reshape(n, hm, wm)

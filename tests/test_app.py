@@ -1,0 +1,40 @@
+"""App entry-point smoke test (the main()/manage() replacement)."""
+
+import numpy as np
+
+from tod_tpu.app import main
+
+
+class TestApp:
+    def test_synthetic_run_with_server(self, capsys, tmp_path):
+        rc = main(
+            [
+                "--source", "synthetic",
+                "--frames", "2",
+                "--width", "64", "--height", "48",
+                "--port", "0",
+                "--planner", "numpy",
+                "--metrics-json",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        import json
+
+        metrics = json.loads(out)
+        assert metrics["n_frames"] == 2
+        assert metrics["fps"] > 0
+
+    def test_png_source_uses_reference_fixture(self, capsys):
+        rc = main(
+            [
+                "--source", "png",
+                "--image", "/root/reference/data/frc_balls.png",
+                "--frames", "1",
+                "--width", "64", "--height", "48",
+                "--no-server",
+                "--planner", "numpy",
+                "--metrics-json",
+            ]
+        )
+        assert rc == 0

@@ -1,0 +1,121 @@
+"""The application entry point: camera → model → scene → planner → TCP server.
+
+Replaces the reference's ``main()`` + ``manage()`` orchestration
+(src/main.rs:33-138): device/session init becomes jit warmup, the tokio task
+split becomes a server thread + the engine loop, and the shared mutex state
+becomes the PathStore.  Run as::
+
+    python -m tod_tpu.app --source synthetic --frames 300 --port 8080
+    python -m tod_tpu.app --source png --image /path/to/fixture.png
+    python -m tod_tpu.app --source ring --trace capture.todtrace
+
+Unlike the reference (which deliberately panics after one scene pass,
+src/main.rs:92 "// TESTING"), this loop actually streams.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tod_tpu", description=__doc__)
+    p.add_argument("--source", choices=("synthetic", "png", "ring", "trace"), default="synthetic")
+    p.add_argument("--image", help="PNG path for --source png")
+    p.add_argument("--trace", help="TODTRACE path for --source ring/trace")
+    p.add_argument("--frames", type=int, default=None, help="stop after N frames")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--fps", type=float, default=30.0, help="ring producer rate")
+    p.add_argument("--mode", choices=("detect", "semantic"), default="detect")
+    p.add_argument("--checkpoint", help="orbax checkpoint dir with trained params")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--no-server", action="store_true")
+    p.add_argument("--planner", choices=("auto", "native", "numpy", "tpu"), default="auto")
+    p.add_argument("--debug-dump", action="store_true", help="write map.bmp etc. per run")
+    p.add_argument("--metrics-json", action="store_true", help="print metrics as JSON at exit")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
+
+    from tod_tpu.core.config import (
+        CameraConfig,
+        ModelConfig,
+        PipelineConfig,
+        PlannerConfig,
+        ServerConfig,
+    )
+    from tod_tpu.runtime import Engine, PNGSource, RingSource, SyntheticSource, TraceSource
+    from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
+
+    cam = CameraConfig(width=args.width, height=args.height, fps=args.fps)
+    cfg = PipelineConfig(
+        camera=cam,
+        model=ModelConfig(input_size=(args.height // 2 * 2, args.width // 2 * 2)),
+        planner=PlannerConfig(backend=args.planner),
+        server=ServerConfig(host=args.host, port=args.port),
+    )
+
+    params = None
+    if args.checkpoint:
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        params = load_checkpoint(args.checkpoint)
+
+    if args.source == "synthetic":
+        source = SyntheticSource(cam, n_frames=args.frames)
+    elif args.source == "png":
+        if not args.image:
+            raise SystemExit("--source png requires --image")
+        source = PNGSource(args.image, cam, n_frames=args.frames)
+    elif args.source == "trace":
+        if not args.trace:
+            raise SystemExit("--source trace requires --trace")
+        source = TraceSource(args.trace, loop=True, n_frames=args.frames)
+    else:
+        source = RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
+
+    store = PathStore()
+    server_thread = server = None
+    if not args.no_server:
+        server_thread, server = run_in_thread(store, cfg.server)
+        logging.info("path server on %s:%s", cfg.server.host, server.port)
+
+    engine = Engine(cfg, params=params, mode=args.mode)
+    try:
+        metrics = engine.run(source, path_store=store)
+    finally:
+        source.close()
+        if server is not None:
+            stop_thread_server(server)
+            if server_thread is not None:
+                server_thread.join(timeout=5)
+
+    if args.debug_dump:
+        frame = next(SyntheticSource(cam, n_frames=1).frames())
+        scene, _ = engine.process(frame)
+        from tod_tpu.utils.image_io import dump_scene_debug
+
+        logging.info("debug dumps: %s", dump_scene_debug(scene))
+
+    if args.metrics_json:
+        print(json.dumps(metrics, default=float))
+    else:
+        logging.info(
+            "done: %d frames, %.1f fps, plan p50 %s ms",
+            metrics["n_frames"],
+            metrics["fps"],
+            metrics["stages"].get("plan", {}).get("p50_ms"),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,54 @@
+"""Training CLI: ``python -m tod_tpu.train.run --steps 2000 --out ckpt/``.
+
+Trains the flagship YOLACT on the procedural FRC-domain dataset and writes an
+orbax checkpoint usable by the app (``python -m tod_tpu.app --checkpoint …``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--out", default="checkpoints/yolact")
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--small", action="store_true", help="tiny model for smoke runs")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    from tod_tpu.core.config import ModelConfig, TrainConfig
+    from tod_tpu.train import SyntheticDetectionData, Trainer
+
+    mcfg = ModelConfig(input_size=(args.height, args.width))
+    if args.small:
+        mcfg = dataclasses.replace(
+            mcfg, fpn_channels=32, proto_channels=32, head_channels=32,
+            width_mult=0.5, num_prototypes=16,
+        )
+    tcfg = TrainConfig(
+        batch_size=args.batch, learning_rate=args.lr, total_steps=args.steps,
+        warmup_steps=min(500, max(args.steps // 10, 1)),
+    )
+    mesh = None
+    if args.tp > 1:
+        from tod_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+    trainer = Trainer(mcfg, tcfg, mesh=mesh)
+    data = SyntheticDetectionData(mcfg.input_size, batch_size=args.batch, seed=tcfg.seed)
+    trainer.train(data, steps=args.steps, log_every=args.log_every)
+    trainer.save(args.out)
+    print(f"saved checkpoint to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

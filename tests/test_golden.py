@@ -1,0 +1,86 @@
+"""Golden-fixture tests on the reference's committed test images
+(data/frc_balls.png, data/red_robot.png — its de-facto regression inputs,
+SURVEY.md §4 "Golden-image fixtures").
+
+With untrained weights the *numeric* outputs aren't meaningful, so these pin
+the behavioral contracts: determinism (same input → identical output),
+shape/dtype/value-range invariants, and wire-format round trips on real image
+content.  Once a trained checkpoint is pinned, mask-IoU goldens slot in here.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+FIXTURES = pathlib.Path("/root/reference/data")
+
+from tod_tpu.core.config import (
+    CameraConfig,
+    GeometryConfig,
+    ModelConfig,
+    PipelineConfig,
+    PlannerConfig,
+)
+from tod_tpu.runtime import Engine, PNGSource
+from tod_tpu.runtime.classify import Classifier
+
+TINY_CAM = CameraConfig(width=64, height=48)
+TINY_CFG = PipelineConfig(
+    camera=TINY_CAM,
+    model=ModelConfig(
+        input_size=(48, 64),
+        fpn_channels=16,
+        proto_channels=16,
+        head_channels=16,
+        width_mult=0.35,
+        num_prototypes=8,
+        nms_top_k=8,
+        max_detections=4,
+    ),
+    geometry=GeometryConfig(terrain_norm_const=2, bot_norm_const=3),
+    planner=PlannerConfig(backend="numpy"),
+)
+
+
+@pytest.fixture(scope="module", params=["frc_balls.png", "red_robot.png"])
+def fixture_source(request):
+    path = FIXTURES / request.param
+    if not path.exists():
+        pytest.skip(f"fixture {path} unavailable")
+    return PNGSource(path, TINY_CAM, n_frames=2)
+
+
+class TestGoldenFixtures:
+    def test_engine_deterministic_on_fixture(self, fixture_source):
+        eng = Engine(TINY_CFG, mode="detect", use_pallas=False)
+        frames = list(fixture_source.frames())
+        s1, d1 = eng.process(frames[0])
+        s2, d2 = eng.process(frames[1])
+        np.testing.assert_array_equal(np.asarray(s1.height), np.asarray(s2.height))
+        np.testing.assert_array_equal(np.asarray(d1.class_map), np.asarray(d2.class_map))
+
+    def test_scene_invariants_on_fixture(self, fixture_source):
+        eng = Engine(TINY_CFG, mode="semantic", use_pallas=False)
+        frame = next(fixture_source.frames())
+        scene, dets = eng.process(frame)
+        h = np.asarray(scene.height)
+        assert np.isfinite(h).all() and (h >= 0).all()
+        conns = np.asarray(scene.connections)
+        valid = conns[conns >= 0]
+        assert valid.min() >= 1.0 - 1e-5  # min edge length is 1 (flat neighbors)
+        cls = np.asarray(dets.class_map)
+        assert cls.max() <= 3
+
+    def test_classifier_word_contract_on_fixture(self, fixture_source):
+        import jax.numpy as jnp
+
+        from tod_tpu.ops.packing import pack_rgb_u32
+
+        clf = Classifier(TINY_CFG)
+        frame = next(fixture_source.frames())
+        words = np.asarray(pack_rgb_u32(jnp.asarray(frame.rgb)))
+        out1 = clf.classify(words)
+        out2 = clf.classify(words)
+        np.testing.assert_array_equal(out1, out2)
+        assert (out1 & 0xFFFF == 0).all()

@@ -53,7 +53,9 @@ class Classifier:
         self.model, _ = create_model(mcfg)
         if params is None:
             x0 = jnp.zeros((1, *mcfg.input_size, 3), jnp.bfloat16)
-            params = self.model.init(jax.random.PRNGKey(seed), x0, train=False)
+            params = jax.jit(lambda k: self.model.init(k, x0, train=False))(
+                jax.random.PRNGKey(seed)
+            )
         self.params = params
         cam_hw = (self.cfg.camera.height, self.cfg.camera.width)
         model = self.model

@@ -61,7 +61,11 @@ class Engine:
         cam_hw = (self.cfg.camera.height, self.cfg.camera.width)
         if params is None:
             x0 = jnp.zeros((1, *self.cfg.model.input_size, 3), jnp.bfloat16)
-            params = self.model.init(jax.random.PRNGKey(seed), x0, train=False)
+            # jit the init: eager init dispatches thousands of tiny ops, which
+            # is pathological over a remote-compile TPU tunnel
+            params = jax.jit(lambda k: self.model.init(k, x0, train=False))(
+                jax.random.PRNGKey(seed)
+            )
         self.params = params
         self.timer = StageTimer()
         self.fps = FPSMeter()

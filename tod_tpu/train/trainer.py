@@ -88,7 +88,10 @@ class Trainer:
         self.tx = make_optimizer(self.tcfg)
 
         x0 = jnp.zeros((1, *self.mcfg.input_size, 3), jnp.bfloat16)
-        variables = self.model.init(jax.random.PRNGKey(self.tcfg.seed), x0, train=True)
+        # jit'd init (eager init is pathological over a remote-compile tunnel)
+        variables = jax.jit(lambda k: self.model.init(k, x0, train=True))(
+            jax.random.PRNGKey(self.tcfg.seed)
+        )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.state = TrainState(

@@ -156,3 +156,31 @@ class TestPlanAPI:
     def test_start_node_matches_reference_literal(self):
         # START_NODE = 640*480 − 240 → (479, 400) (src/path.rs:93)
         assert start_node_yx((480, 640)) == (479, 400)
+
+
+class TestPlanFromHeight:
+    def test_matches_full_scene_plan(self, wall_scene):
+        from tod_tpu.planner.api import plan_from_height
+
+        full = plan(wall_scene, PlannerConfig(backend="numpy"))
+        light = plan_from_height(
+            np.asarray(wall_scene.height), np.asarray(wall_scene.balls),
+            PlannerConfig(backend="numpy"),
+        )
+        assert len(full.directions) == len(light.directions)
+        np.testing.assert_allclose(
+            np.asarray(full.directions), np.asarray(light.directions), rtol=1e-5
+        )
+
+    def test_native_height_backend_matches_numpy(self, wall_scene):
+        if not loader.available():
+            pytest.skip("native lib unavailable")
+        from tod_tpu.planner.api import plan_from_height
+
+        h = np.asarray(wall_scene.height)
+        b = np.asarray(wall_scene.balls)
+        a = plan_from_height(h, b, PlannerConfig(backend="native"))
+        c = plan_from_height(h, b, PlannerConfig(backend="numpy"))
+        assert sum(m for m, _ in a.directions) == pytest.approx(
+            sum(m for m, _ in c.directions), rel=1e-5
+        )

@@ -74,4 +74,46 @@ int tod_dijkstra(const float* height, const float* conns, int h, int w,
   return 0;
 }
 
+// Height-only variant: edge weights are derived from the height map inline
+// (connections[n][i] = sqrt(dx² + dy² + Δh²) — exactly what the fusion stage
+// materializes per pt_cloud_weights.comp — plus the planner's |Δh| term,
+// src/path.rs:59).  Avoids materializing and reading back the (H, W, 8)
+// connections tensor: the hot serving loop only transfers the height map.
+int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
+                        int n_seeds, double* dist, int64_t* parent) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  for (int64_t i = 0; i < n; ++i) {
+    dist[i] = INFINITY;
+    parent[i] = -1;
+  }
+  std::priority_queue<QNode, std::vector<QNode>, std::greater<QNode>> pq;
+  for (int s = 0; s < n_seeds; ++s) {
+    int32_t y = seeds[2 * s], x = seeds[2 * s + 1];
+    if (y < 0 || y >= h || x < 0 || x >= w) continue;
+    dist[static_cast<int64_t>(y) * w + x] = 0.0;
+    pq.push({0.0, y, x});
+  }
+  while (!pq.empty()) {
+    QNode top = pq.top();
+    pq.pop();
+    const int64_t idx = static_cast<int64_t>(top.y) * w + top.x;
+    if (top.dist > dist[idx]) continue;
+    const double h0 = height[idx];
+    for (int i = 0; i < 8; ++i) {
+      const int ny = top.y + DY[i], nx = top.x + DX[i];
+      if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+      const int64_t nidx = static_cast<int64_t>(ny) * w + nx;
+      const double dh = static_cast<double>(height[nidx]) - h0;
+      const double base = (DY[i] != 0 && DX[i] != 0) ? 2.0 : 1.0;
+      const double nd = top.dist + std::sqrt(base + dh * dh) + std::fabs(dh);
+      if (nd < dist[nidx]) {
+        dist[nidx] = nd;
+        parent[nidx] = idx;
+        pq.push({nd, static_cast<int32_t>(ny), static_cast<int32_t>(nx)});
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -32,6 +32,10 @@ def _lib() -> ctypes.CDLL | None:
         _f32p, _f32p, ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_int, _f64p, _i64p,
     ]
     lib.tod_dijkstra.restype = ctypes.c_int
+    lib.tod_dijkstra_height.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_int, _f64p, _i64p,
+    ]
+    lib.tod_dijkstra_height.restype = ctypes.c_int
     lib.tod_ring_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.tod_ring_create.restype = ctypes.c_void_p
     lib.tod_ring_destroy.argtypes = [ctypes.c_void_p]

@@ -29,7 +29,6 @@ from tod_tpu.models.yolact import create_model, detect
 from tod_tpu.ops.cc_labels import connected_components
 from tod_tpu.ops.postprocess import semantic_argmax, upsample_nearest
 from tod_tpu.ops.preprocess import preprocess_frame, upscale_to_frame
-from tod_tpu.planner.api import plan
 from tod_tpu.runtime.profiler import FPSMeter, StageTimer
 from tod_tpu.serve.server import PathStore
 
@@ -130,33 +129,48 @@ class Engine:
         plan_paths: bool = True,
         warmup: bool = True,
     ) -> dict:
-        """Drive the full loop; returns metrics (fps, p50 latency, stages)."""
+        """Drive the full loop; returns metrics (fps, p50 latency, stages).
+
+        Pipelined three ways, mirroring the reference's producer/fusion/planner
+        task split (src/main.rs:56-96) without its one-frame truncation:
+        - device compute is double-buffered (dispatch frame n while n−1
+          finishes);
+        - the planner runs on a worker thread against the *latest* scene
+          (depth-1 slot, drop-old — a stale path is worthless, same policy as
+          the camera ring), reading back only the height map + ball slots
+          (see planner.api.plan_from_height).
+        """
         if warmup:
             compile_s = self.warmup()
         else:
             compile_s = 0.0
+        planner = _PlannerWorker(self, path_store) if plan_paths else None
         frames: Iterator[Frame] = source.frames()
         n_done = 0
-        pending = None  # (scene, dets) dispatched but not consumed
-        last_path: Path | None = None
+        pending: list = []  # dispatched, not yet awaited
         t_start = time.perf_counter()
+        times: list[float] = []
         while n_frames is None or n_done < n_frames:
             frame = next(frames, None)
             if frame is None:
                 break
-            t0 = time.perf_counter()
+            times.append(time.perf_counter())
             scene, dets = self.process(frame)  # async dispatch
-            if pending is not None:
-                self._consume(pending, path_store, plan_paths)
-            pending = (scene, dets)
-            jax.block_until_ready(scene.height)
+            if planner is not None:
+                planner.submit(scene)
+            pending.append((scene, times[-1]))
+            if len(pending) >= 2:
+                old_scene, t0 = pending.pop(0)
+                jax.block_until_ready(old_scene.height)
+                self.timer.record("frame", time.perf_counter() - t0)
+                self.fps.tick()
+                n_done += 1
+        for old_scene, t0 in pending:
+            jax.block_until_ready(old_scene.height)
             self.timer.record("frame", time.perf_counter() - t0)
             self.fps.tick()
             n_done += 1
-            if path_store is not None:
-                last_path = path_store.get()
-        if pending is not None:
-            last_path = self._consume(pending, path_store, plan_paths) or last_path
+        last_path = planner.finish() if planner is not None else None
         wall = time.perf_counter() - t_start
         return {
             "n_frames": n_done,
@@ -164,24 +178,67 @@ class Engine:
             "fps": n_done / wall if wall > 0 else 0.0,
             "compile_s": compile_s,
             "stages": self.timer.summary(),
+            "plans_done": planner.n_planned if planner is not None else 0,
             "last_path_len": len(last_path.directions) if last_path else 0,
         }
 
-    def _consume(self, pending, path_store, plan_paths):
-        scene, _ = pending
-        if not plan_paths:
-            return None
-        with self.timer.stage("plan"):
-            host_scene = Scene(
-                height=np.asarray(scene.height),
-                pos=np.asarray(scene.pos),
-                balls=np.asarray(scene.balls),
-                connections=np.asarray(scene.connections),
-            )
-            path = plan(host_scene, self.cfg.planner)
-        if path_store is not None:
-            path_store.set(path)
-        return path
+
+class _PlannerWorker:
+    """Depth-1 latest-scene planner thread (drop-old semantics)."""
+
+    def __init__(self, engine: Engine, path_store: Optional[PathStore]):
+        import threading
+
+        self.engine = engine
+        self.path_store = path_store
+        self.n_planned = 0
+        self.last_path: Path | None = None
+        self._slot = None
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="tod-planner")
+        self._thread.start()
+
+    def submit(self, scene: Scene) -> None:
+        with self._cv:
+            self._slot = scene  # overwrite: plan the freshest scene only
+            self._cv.notify()
+
+    def _loop(self) -> None:
+        from tod_tpu.planner.api import plan_from_height
+
+        while True:
+            with self._cv:
+                while self._slot is None and not self._stop:
+                    self._cv.wait()
+                if self._slot is None and self._stop:
+                    return
+                scene = self._slot
+                self._slot = None
+            with self.engine.timer.stage("plan"):
+                height = np.asarray(scene.height)  # device→host readback
+                balls = np.asarray(scene.balls)
+                path = plan_from_height(height, balls, self.engine.cfg.planner)
+            self.n_planned += 1
+            self.last_path = path
+            if self.path_store is not None:
+                self.path_store.set(path)
+
+    def finish(self) -> Path | None:
+        import time as _time
+
+        # let the worker drain the final slot
+        deadline = _time.time() + 10.0
+        while _time.time() < deadline:
+            with self._cv:
+                if self._slot is None:
+                    break
+            _time.sleep(0.005)
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
+        return self.last_path
 
 
 def _empty_detections(mcfg, cam_hw, cls_map, ids) -> Detections:

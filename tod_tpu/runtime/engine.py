@@ -145,20 +145,20 @@ class Engine:
         else:
             compile_s = 0.0
         planner = _PlannerWorker(self, path_store) if plan_paths else None
-        frames: Iterator[Frame] = source.frames()
+        uploader = _UploadWorker(source, n_frames)
         n_done = 0
         pending: list = []  # dispatched, not yet awaited
         t_start = time.perf_counter()
-        times: list[float] = []
-        while n_frames is None or n_done < n_frames:
-            frame = next(frames, None)
-            if frame is None:
+        while True:
+            item = uploader.next()
+            if item is None:
                 break
-            times.append(time.perf_counter())
-            scene, dets = self.process(frame)  # async dispatch
+            rgb_d, depth_d = item
+            t_frame = time.perf_counter()
+            scene, dets = self._step(self.params, rgb_d, depth_d)  # async dispatch
             if planner is not None:
                 planner.submit(scene)
-            pending.append((scene, times[-1]))
+            pending.append((scene, t_frame))
             if len(pending) >= 2:
                 old_scene, t0 = pending.pop(0)
                 jax.block_until_ready(old_scene.height)
@@ -170,6 +170,7 @@ class Engine:
             self.timer.record("frame", time.perf_counter() - t0)
             self.fps.tick()
             n_done += 1
+        uploader.close()
         last_path = planner.finish() if planner is not None else None
         wall = time.perf_counter() - t_start
         return {
@@ -181,6 +182,50 @@ class Engine:
             "plans_done": planner.n_planned if planner is not None else 0,
             "last_path_len": len(last_path.directions) if last_path else 0,
         }
+
+
+class _UploadWorker:
+    """Host→device transfer thread: stages frame n+1's device_put while the
+    device computes frame n (the USB-producer analog of src/scene.rs:102-109,
+    but the queue holds device-resident buffers)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, source, n_frames: int | None, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = False
+
+        def _loop():
+            n = 0
+            for frame in source.frames():
+                if self._stop or (n_frames is not None and n >= n_frames):
+                    break
+                rgb_d = jax.device_put(np.ascontiguousarray(frame.rgb))
+                depth_d = jax.device_put(np.ascontiguousarray(frame.depth))
+                self._q.put((rgb_d, depth_d))
+                n += 1
+            self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=_loop, daemon=True, name="tod-uploader")
+        self._thread.start()
+
+    def next(self):
+        item = self._q.get()
+        return None if item is self._SENTINEL else item
+
+    def close(self) -> None:
+        self._stop = True
+        # drain so the producer can reach the sentinel and exit
+        try:
+            while True:
+                if self._q.get_nowait() is self._SENTINEL:
+                    break
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
 
 
 class _PlannerWorker:

@@ -128,3 +128,24 @@ class TestClassifierParity:
         # low 16 bits always zero; class in byte 3 bounded by meaningful classes
         assert (out & 0xFFFF == 0).all()
         assert ((out >> 24) <= 3).all()
+
+
+class TestWatchdog:
+    def test_fires_on_stall_and_resets(self):
+        import time as _t
+
+        from tod_tpu.runtime.watchdog import Watchdog
+
+        fired = []
+        wd = Watchdog(timeout_s=0.2, on_stall=fired.append, check_interval_s=0.05)
+        wd.start()
+        try:
+            _t.sleep(0.5)
+            assert len(fired) == 1  # fires once per stall, not repeatedly
+            wd.heartbeat()
+            _t.sleep(0.1)
+            assert len(fired) == 1
+            _t.sleep(0.4)
+            assert len(fired) == 2  # re-arms after a heartbeat
+        finally:
+            wd.stop()

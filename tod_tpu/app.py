@@ -89,9 +89,13 @@ def main(argv=None) -> int:
         logging.info("path server on %s:%s", cfg.server.host, server.port)
 
     engine = Engine(cfg, params=params, mode=args.mode)
+    from tod_tpu.runtime.watchdog import Watchdog
+
+    watchdog = Watchdog(timeout_s=10.0).start()
     try:
-        metrics = engine.run(source, path_store=store)
+        metrics = engine.run(source, path_store=store, watchdog=watchdog)
     finally:
+        watchdog.stop()
         source.close()
         if server is not None:
             stop_thread_server(server)
@@ -103,7 +107,7 @@ def main(argv=None) -> int:
         scene, _ = engine.process(frame)
         from tod_tpu.utils.image_io import dump_scene_debug
 
-        logging.info("debug dumps: %s", dump_scene_debug(scene))
+        logging.info("debug dumps: %s", dump_scene_debug(scene, depth=frame.depth))
 
     if args.metrics_json:
         print(json.dumps(metrics, default=float))

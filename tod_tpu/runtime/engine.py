@@ -105,6 +105,17 @@ class Engine:
 
         self._step = jax.jit(_step)
 
+        # Slim serving step: the streaming loop only ever consumes the height
+        # map + ball slots (planner) — returning just those two buffers keeps
+        # per-step output-buffer overhead minimal (each output array costs a
+        # round trip on remote-transport backends) and lets XLA dead-code the
+        # unused connection/pos materializations out of the serving graph.
+        def _serve_step(p, rgb, depth):
+            scene, _ = _step(p, rgb, depth)
+            return scene.height, scene.balls
+
+        self._serve_step = jax.jit(_serve_step)
+
     def warmup(self) -> float:
         """Compile the graph on a dummy frame; returns compile seconds."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
@@ -113,6 +124,8 @@ class Engine:
         t0 = time.perf_counter()
         scene, dets = self._step(self.params, rgb, depth)
         jax.block_until_ready(scene.height)
+        hh, bb = self._serve_step(self.params, rgb, depth)
+        jax.block_until_ready(hh)
         return time.perf_counter() - t0
 
     def process(self, frame: Frame) -> tuple[Scene, Detections]:
@@ -128,6 +141,8 @@ class Engine:
         path_store: Optional[PathStore] = None,
         plan_paths: bool = True,
         warmup: bool = True,
+        watchdog=None,
+        pipeline_depth: int = 3,
     ) -> dict:
         """Drive the full loop; returns metrics (fps, p50 latency, stages).
 
@@ -155,18 +170,20 @@ class Engine:
                 break
             rgb_d, depth_d = item
             t_frame = time.perf_counter()
-            scene, dets = self._step(self.params, rgb_d, depth_d)  # async dispatch
+            height_d, balls_d = self._serve_step(self.params, rgb_d, depth_d)
             if planner is not None:
-                planner.submit(scene)
-            pending.append((scene, t_frame))
-            if len(pending) >= 2:
-                old_scene, t0 = pending.pop(0)
-                jax.block_until_ready(old_scene.height)
+                planner.submit((height_d, balls_d))
+            pending.append((height_d, t_frame))
+            if len(pending) >= pipeline_depth:
+                old_h, t0 = pending.pop(0)
+                jax.block_until_ready(old_h)
                 self.timer.record("frame", time.perf_counter() - t0)
                 self.fps.tick()
+                if watchdog is not None:
+                    watchdog.heartbeat()
                 n_done += 1
-        for old_scene, t0 in pending:
-            jax.block_until_ready(old_scene.height)
+        for old_h, t0 in pending:
+            jax.block_until_ready(old_h)
             self.timer.record("frame", time.perf_counter() - t0)
             self.fps.tick()
             n_done += 1
@@ -244,9 +261,9 @@ class _PlannerWorker:
         self._thread = threading.Thread(target=self._loop, daemon=True, name="tod-planner")
         self._thread.start()
 
-    def submit(self, scene: Scene) -> None:
+    def submit(self, height_balls) -> None:
         with self._cv:
-            self._slot = scene  # overwrite: plan the freshest scene only
+            self._slot = height_balls  # overwrite: plan the freshest scene only
             self._cv.notify()
 
     def _loop(self) -> None:
@@ -258,11 +275,11 @@ class _PlannerWorker:
                     self._cv.wait()
                 if self._slot is None and self._stop:
                     return
-                scene = self._slot
+                height_d, balls_d = self._slot
                 self._slot = None
             with self.engine.timer.stage("plan"):
-                height = np.asarray(scene.height)  # device→host readback
-                balls = np.asarray(scene.balls)
+                height = np.asarray(height_d)  # device→host readback
+                balls = np.asarray(balls_d)
                 path = plan_from_height(height, balls, self.engine.cfg.planner)
             self.n_planned += 1
             self.last_path = path

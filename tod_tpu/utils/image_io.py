@@ -35,13 +35,17 @@ def save_gray_bmp(path, values: np.ndarray) -> None:
     Image.fromarray(arr, mode="L").save(path)
 
 
-def dump_scene_debug(scene, out_dir=".") -> list[str]:
-    """Write map.bmp / connections0.bmp / connections1.bmp like the reference's
-    append_scene debug block (src/scene.rs:290-310).  Returns written paths."""
+def dump_scene_debug(scene, out_dir=".", depth=None) -> list[str]:
+    """Write map.bmp / connections0.bmp / connections1.bmp (and depth.bmp if a
+    depth frame is given, scaled /17 like src/scene.rs:192) — the reference's
+    append_scene debug block (src/scene.rs:191-194,290-310).  Returns paths."""
     out = pathlib.Path(out_dir)
     height = np.asarray(scene.height)
     conns = np.asarray(scene.connections)
     paths = []
+    if depth is not None:
+        save_gray_bmp(out / "depth.bmp", np.asarray(depth) // 17)
+        paths.append(str(out / "depth.bmp"))
     save_gray_bmp(out / "map.bmp", height)
     paths.append(str(out / "map.bmp"))
     # connections0 = first 4 planes' first component analog; we dump the mean

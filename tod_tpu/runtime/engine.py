@@ -142,14 +142,17 @@ class Engine:
         plan_paths: bool = True,
         warmup: bool = True,
         watchdog=None,
-        pipeline_depth: int = 3,
+        sync_every: int = 16,
     ) -> dict:
         """Drive the full loop; returns metrics (fps, p50 latency, stages).
 
         Pipelined three ways, mirroring the reference's producer/fusion/planner
         task split (src/main.rs:56-96) without its one-frame truncation:
-        - device compute is double-buffered (dispatch frame n while n−1
-          finishes);
+        - host→device uploads run on a dedicated thread;
+        - device dispatch stays fully async, synced only every ``sync_every``
+          frames — on remote transports an explicit ``block_until_ready`` costs
+          a ~20 ms round trip, so per-frame syncs would cap throughput (the
+          dispatch queue itself bounds memory);
         - the planner runs on a worker thread against the *latest* scene
           (depth-1 slot, drop-old — a stale path is worthless, same policy as
           the camera ring), reading back only the height map + ball slots
@@ -162,31 +165,37 @@ class Engine:
         planner = _PlannerWorker(self, path_store) if plan_paths else None
         uploader = _UploadWorker(source, n_frames)
         n_done = 0
-        pending: list = []  # dispatched, not yet awaited
+        height_d = None
+        t_batch = time.perf_counter()
+        batch_n = 0
         t_start = time.perf_counter()
         while True:
             item = uploader.next()
             if item is None:
                 break
             rgb_d, depth_d = item
-            t_frame = time.perf_counter()
             height_d, balls_d = self._serve_step(self.params, rgb_d, depth_d)
             if planner is not None:
                 planner.submit((height_d, balls_d))
-            pending.append((height_d, t_frame))
-            if len(pending) >= pipeline_depth:
-                old_h, t0 = pending.pop(0)
-                jax.block_until_ready(old_h)
-                self.timer.record("frame", time.perf_counter() - t0)
-                self.fps.tick()
+            n_done += 1
+            batch_n += 1
+            if batch_n >= sync_every:
+                jax.block_until_ready(height_d)
+                now = time.perf_counter()
+                per_frame = (now - t_batch) / batch_n
+                for _ in range(batch_n):
+                    self.timer.record("frame", per_frame)
+                    self.fps.tick()
                 if watchdog is not None:
                     watchdog.heartbeat()
-                n_done += 1
-        for old_h, t0 in pending:
-            jax.block_until_ready(old_h)
-            self.timer.record("frame", time.perf_counter() - t0)
-            self.fps.tick()
-            n_done += 1
+                t_batch = now
+                batch_n = 0
+        if height_d is not None and batch_n:
+            jax.block_until_ready(height_d)
+            per_frame = (time.perf_counter() - t_batch) / batch_n
+            for _ in range(batch_n):
+                self.timer.record("frame", per_frame)
+                self.fps.tick()
         uploader.close()
         last_path = planner.finish() if planner is not None else None
         wall = time.perf_counter() - t_start

@@ -84,3 +84,36 @@ class TestGoldenFixtures:
         out2 = clf.classify(words)
         np.testing.assert_array_equal(out1, out2)
         assert (out1 & 0xFFFF == 0).all()
+
+
+class TestTrainedCheckpoint:
+    """End-to-end behavior with the pinned trained checkpoint (skipped if the
+    checkpoint isn't present)."""
+
+    def test_finds_balls_and_plans(self):
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth_v1"
+        if not ckpt.exists():
+            pytest.skip("pinned checkpoint not present")
+        from tod_tpu.core.config import PipelineConfig, CameraConfig, ModelConfig, PlannerConfig
+        from tod_tpu.planner.api import plan_from_height
+        from tod_tpu.runtime import SyntheticSource
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        params = load_checkpoint(str(ckpt))
+        cam = CameraConfig(width=320, height=240)
+        cfg = PipelineConfig(
+            camera=cam,
+            model=ModelConfig(input_size=(240, 320)),
+            planner=PlannerConfig(backend="auto"),
+        )
+        eng = Engine(cfg, params=params, mode="semantic", use_pallas=False)
+        frame = next(SyntheticSource(cam, seed=7, n_frames=1).frames())
+        scene, dets = eng.process(frame)
+        cls = np.asarray(dets.class_map)
+        balls = np.asarray(scene.balls)
+        # the seed-7 synthetic scene contains two balls and two robots
+        assert (cls == 3).sum() > 200, "ball pixels detected"
+        assert ((cls == 1) | (cls == 2)).sum() > 500, "robot pixels detected"
+        assert (balls[:, 2] > 0).sum() >= 1, "ball centroid slots populated"
+        path = plan_from_height(np.asarray(scene.height), balls, cfg.planner)
+        assert len(path.directions) > 50, "a real path to a ball was planned"

@@ -81,3 +81,32 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             np.asarray(out_sp), np.asarray(out_ref), atol=2e-2
         )
+
+
+class TestShardedInference:
+    def test_dp_batched_inference(self):
+        _require_8()
+        import jax.numpy as jnp
+
+        from tod_tpu.models.yolact import create_model
+        from tod_tpu.parallel import make_mesh
+        from tod_tpu.parallel.sharding import shard_inference
+
+        mesh = make_mesh(8, tp=1)
+        model, _ = create_model(TINY)
+        x1 = jnp.zeros((1, *TINY.input_size, 3), jnp.bfloat16)
+        variables = jax.jit(lambda k: model.init(k, x1, train=False))(
+            jax.random.PRNGKey(0)
+        )
+
+        def fwd(v, imgs):
+            return model.apply(v, imgs, train=False).loc
+
+        jitted = shard_inference(fwd, mesh)(variables)
+        xb = jnp.zeros((8, *TINY.input_size, 3), jnp.bfloat16)
+        out = jitted(variables, xb)
+        assert out.shape[0] == 8
+        ref = fwd(variables, xb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-2
+        )

@@ -64,10 +64,20 @@ def main(argv=None) -> int:
     )
 
     params = None
-    if args.checkpoint:
+    ckpt = args.checkpoint
+    if ckpt is None:
+        # default pinned checkpoint (trained on the procedural FRC-domain
+        # dataset; the reference shipped its weights as a committed blob too)
+        import pathlib
+
+        default = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth_v1"
+        if default.exists():
+            ckpt = str(default)
+    if ckpt:
         from tod_tpu.train.checkpoint import load_checkpoint
 
-        params = load_checkpoint(args.checkpoint)
+        logging.info("loading checkpoint %s", ckpt)
+        params = load_checkpoint(ckpt)
 
     if args.source == "synthetic":
         source = SyntheticSource(cam, n_frames=args.frames)

@@ -162,6 +162,8 @@ class Engine:
             compile_s = self.warmup()
         else:
             compile_s = 0.0
+        if watchdog is not None:
+            watchdog.heartbeat()  # don't count jit compile as a stall
         planner = _PlannerWorker(self, path_store) if plan_paths else None
         uploader = _UploadWorker(source, n_frames)
         n_done = 0

@@ -91,7 +91,7 @@ class TestTrainedCheckpoint:
     checkpoint isn't present)."""
 
     def test_finds_balls_and_plans(self):
-        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth_v1"
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
         if not ckpt.exists():
             pytest.skip("pinned checkpoint not present")
         from tod_tpu.core.config import PipelineConfig, CameraConfig, ModelConfig, PlannerConfig

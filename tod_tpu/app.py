@@ -70,7 +70,7 @@ def main(argv=None) -> int:
         # dataset; the reference shipped its weights as a committed blob too)
         import pathlib
 
-        default = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth_v1"
+        default = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
         if default.exists():
             ckpt = str(default)
     if ckpt:

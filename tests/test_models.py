@@ -115,3 +115,35 @@ class TestMaskKernel:
             crop_masks(assemble_masks(jnp.asarray(protos), jnp.asarray(coeffs)), boxes)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestDetectInstanceIds:
+    def test_two_balls_get_distinct_slot_ids(self):
+        """Craft two confident, well-separated ball detections and check the
+        id_map carries one dense id per detection (true instance ids, not the
+        reference's connected-components hack)."""
+        import jax.numpy as jnp
+        from tod_tpu.ops.anchors import generate_anchors
+        from tod_tpu.models.yolact import YolactOutputs, detect
+
+        cfg = TINY
+        anchors = jnp.asarray(generate_anchors(cfg))
+        a = anchors.shape[0]
+        # two anchors near opposite corners (P3 level, stride 8 on 128x160)
+        fh, fw = 16, 20
+        i1 = (2 * fw + 3) * cfg.num_anchors  # row 2, col 3
+        i2 = (12 * fw + 16) * cfg.num_anchors  # row 12, col 16
+        conf = jnp.full((1, a, cfg.num_classes), -10.0)
+        conf = conf.at[0, i1, 3].set(10.0).at[0, i2, 3].set(10.0)
+        loc = jnp.zeros((1, a, 4))
+        # prototype 0 lights the whole frame; coeffs select it strongly
+        protos = jnp.zeros((1, 32, 40, cfg.num_prototypes)).at[..., 0].set(5.0)
+        coeff = jnp.zeros((1, a, cfg.num_prototypes)).at[..., 0].set(1.0)
+        sem = jnp.zeros((1, 16, 20, cfg.num_classes))
+        out = YolactOutputs(loc=loc, conf=conf, coeff=coeff, prototypes=protos, sem_logits=sem)
+        dets = detect(out, cfg, anchors, use_pallas=False)
+        ids = np.asarray(dets.id_map)
+        cls = np.asarray(dets.class_map)
+        ball_ids = set(np.unique(ids[cls == 3]).tolist())
+        assert ball_ids == {0, 1}, f"expected dense ids {{0,1}}, got {ball_ids}"
+        assert (ids[cls != 3] == -1).all()

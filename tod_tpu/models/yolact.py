@@ -29,7 +29,6 @@ from tod_tpu.models.mobilenetv2 import MobileNetV2
 from tod_tpu.models.protonet import ProtoNet
 from tod_tpu.models.resnet import ResNet
 from tod_tpu.ops.anchors import decode_boxes, generate_anchors
-from tod_tpu.ops.cc_labels import connected_components
 from tod_tpu.ops.masks import assemble_masks, crop_masks, masks_to_class_map
 from tod_tpu.ops.nms import fast_nms
 
@@ -131,9 +130,18 @@ def detect(
     class_map, id_map = masks_to_class_map(
         masks, classes, valid, out_hw, threshold=cfg.mask_threshold
     )
-    # ball instance ids by connected components over the ball mask region —
-    # keeps id semantics identical to the semantic path (src/yolact.rs:52-88)
-    ball_ids = connected_components(class_map == 3, max_labels=100)
+    # Instance ids come directly from the detection slots (true instance
+    # segmentation — each ball keeps one id from its mask).  The reference's
+    # connected-components hack (src/yolact.rs:52-88) exists only because it
+    # had no per-instance masks; the semantic pipeline path still reproduces
+    # that behavior (ops/postprocess.py).  Ids are renumbered densely over
+    # ball detections so the ball-centroid slots stay compact.
+    is_ball_slot = (classes == 3) & valid  # (N,)
+    ball_rank = jnp.cumsum(is_ball_slot) - 1  # dense id per ball slot
+    slot_ids = jnp.where(is_ball_slot, ball_rank, -1).astype(jnp.int32)
+    padded = jnp.concatenate([slot_ids, jnp.array([-1], jnp.int32)])
+    ball_ids = padded[jnp.where(id_map >= 0, id_map, slot_ids.shape[0])]
+    ball_ids = jnp.where(class_map == 3, ball_ids, -1)
     return Detections(
         boxes=boxes,
         scores=scores,

@@ -98,6 +98,10 @@ class PlannerConfig:
     max_seed_balls: int = 3
     backend: str = "auto"  # "auto" | "native" | "numpy" | "tpu"
     tpu_max_iters: int = 2048  # Bellman-Ford iteration cap for the TPU backend
+    # minimum pixels behind a ball-centroid slot before it may seed the
+    # search — suppresses phantom slots from fringe pixels of duplicate
+    # detections surviving Fast-NMS
+    min_ball_pixels: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

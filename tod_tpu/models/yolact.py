@@ -140,8 +140,9 @@ def detect(
     ball_rank = jnp.cumsum(is_ball_slot) - 1  # dense id per ball slot
     slot_ids = jnp.where(is_ball_slot, ball_rank, -1).astype(jnp.int32)
     padded = jnp.concatenate([slot_ids, jnp.array([-1], jnp.int32)])
+    # the sentinel pad covers every non-ball case: id_map<0 gathers padded[N]
+    # (−1) and valid non-ball slots carry slot_ids −1 already
     ball_ids = padded[jnp.where(id_map >= 0, id_map, slot_ids.shape[0])]
-    ball_ids = jnp.where(class_map == 3, ball_ids, -1)
     return Detections(
         boxes=boxes,
         scores=scores,

@@ -52,7 +52,10 @@ def plan_from_height(
     cfg = cfg or PlannerConfig()
     height = np.ascontiguousarray(height, np.float32)
     hw = height.shape
-    seeds = seeds_from_balls(np.asarray(balls, np.float32), cfg.max_seed_balls, hw)
+    seeds = seeds_from_balls(
+        np.asarray(balls, np.float32), cfg.max_seed_balls, hw,
+        min_pixels=cfg.min_ball_pixels,
+    )
     if not seeds:
         return Path(created=time.time(), directions=[])
     start = start_node_yx(hw)
@@ -101,7 +104,7 @@ def plan(scene: Scene, cfg: PlannerConfig | None = None) -> Path:
     pos = np.asarray(scene.pos, np.float32)
     balls = np.asarray(scene.balls, np.float32)
     hw = height.shape
-    seeds = seeds_from_balls(balls, cfg.max_seed_balls, hw)
+    seeds = seeds_from_balls(balls, cfg.max_seed_balls, hw, min_pixels=cfg.min_ball_pixels)
     start = start_node_yx(hw)
     if not seeds:
         return Path(created=time.time(), directions=[])

@@ -32,18 +32,25 @@ import numpy as np
 from tod_tpu.core.types import NEIGHBOR_OFFSETS
 
 
-def seeds_from_balls(balls: np.ndarray, max_seeds: int, grid_hw: tuple[int, int]):
+def seeds_from_balls(
+    balls: np.ndarray,
+    max_seeds: int,
+    grid_hw: tuple[int, int],
+    min_pixels: float = 0.0,
+):
     """Ball SSBO slots (max_balls, 4) of (x̄, ȳ, count, 0) → list of in-grid
     (y, x) integer seeds, strongest (most pixels) first, at most ``max_seeds``.
 
     The reference unconditionally sliced the first 3 slots (src/path.rs:37),
     seeding garbage when fewer balls exist; intent: only real detections.
+    ``min_pixels`` suppresses phantom slots backed by a few fringe pixels
+    (e.g. a duplicate detection surviving Fast-NMS).
     """
     h, w = grid_hw
     order = np.argsort(-balls[:, 2])
     seeds = []
     for i in order[:max_seeds]:
-        if balls[i, 2] <= 0:
+        if balls[i, 2] <= max(min_pixels, 0.0):
             break
         y = int(round(float(balls[i, 1])))
         x = int(round(float(balls[i, 0])))

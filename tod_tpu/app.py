@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     cam = CameraConfig(width=args.width, height=args.height, fps=args.fps)
     cfg = PipelineConfig(
         camera=cam,
-        model=ModelConfig(input_size=(args.height // 2 * 2, args.width // 2 * 2)),
+        model=ModelConfig(input_size=(args.height // 8 * 8, args.width // 8 * 8)),
         planner=PlannerConfig(backend=args.planner),
         server=ServerConfig(host=args.host, port=args.port),
     )

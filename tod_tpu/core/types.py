@@ -80,8 +80,10 @@ class Scene:
     ``balls``       (max_balls, 4) f32 — (x, y, count, 0) running-average centroids
                     (the Balls SSBO, shaders/pt_cloud.comp:16-20)
     ``connections`` (H, W, 8) f32 — Euclidean edge weights to the 8 neighbors,
-                    ordered [S, SW, W, NW, N, NE, E, SE] (connections0/1 images,
-                    shaders/pt_cloud_weights.comp:12-14); -1 marks off-grid edges
+                    ordered per NEIGHBOR_OFFSETS: [N, NE, E, SE, S, SW, W, NW]
+                    (the reference readback concat order, src/scene.rs:324-327;
+                    connections0/1 images, shaders/pt_cloud_weights.comp:12-14);
+                    -1 marks off-grid edges
     """
 
     height: Array

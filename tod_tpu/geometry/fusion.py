@@ -184,8 +184,9 @@ def occupancy_map(
         jnp.full((h, w), geom.bot_avoidance_const, jnp.float32),
         pad_b,
     )
-    # Terrain (variable peak values, small L): XLA-fused shifted-max loop —
-    # (2L)² ≈ 36 fused passes, ~50 µs at VGA, 0.15% of a 30 FPS frame budget.
+    # Terrain (variable peak values): XLA-fused shifted-max loop — (2L)²
+    # passes (400 at the reference's L=10; ~1 ms at VGA, a few % of a 30 FPS
+    # frame budget; no separable form exists for variable peaks).
     # Robots (constant peak value, L=20): the separable min-distance² closed
     # form — an algorithmic 1600→80-pass win that beats any displacement-loop
     # kernel (and VMEM liveness rules out unrolled Pallas variants at VGA —

@@ -19,9 +19,11 @@ That rules out a 1600-iteration loop for robots; instead:
   closed form in ``geometry.fusion._dilate_const_separable`` (exact; see its
   docstring) — the in-kernel variant both hits the dynamic-slice limitation
   and overflows VMEM liveness with 80 unrolled full-height slices.
-- **variable peak value** (terrain, val = source row, L=3): small window →
-  fully-unrolled (2L)² static double loop with the vectorized sigmoid,
-  VMEM-resident (this file).
+- **variable peak value** (terrain, val = source row): fully-unrolled (2L)²
+  static double loop with the vectorized sigmoid, VMEM-resident (this file).
+  Viable for small windows only — the unrolled load chain's VMEM liveness
+  grows as (2L)²·H·W·4B, so at the reference's terrain L=10 on VGA frames the
+  production path uses the XLA-fused loop in geometry.fusion instead.
 """
 
 from __future__ import annotations

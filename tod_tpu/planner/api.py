@@ -61,6 +61,8 @@ def plan_from_height(
     start = start_node_yx(hw)
 
     backend = cfg.backend
+    if backend not in ("auto", "native", "numpy", "tpu"):
+        raise ValueError(f"unknown planner backend {backend!r}")
     if backend in ("auto", "native"):
         from tod_tpu.native import loader
 
@@ -78,6 +80,29 @@ def plan_from_height(
                 created=time.time(),
                 directions=extract_directions(dist, parent, pos, start),
             )
+        if backend == "native":
+            raise RuntimeError("native planner backend requested but libtodtpu unavailable")
+    if backend == "tpu":
+        import jax.numpy as jnp
+
+        from tod_tpu.planner.tpu_relax import (
+            bellman_ford_grid,
+            extract_directions_from_next,
+        )
+
+        conns = _connections_from_height(height)
+        seed_mask = np.zeros(hw, bool)
+        for y, x in seeds:
+            seed_mask[y, x] = True
+        dist, next_dir = bellman_ford_grid(
+            jnp.asarray(height), jnp.asarray(conns), jnp.asarray(seed_mask),
+            max_iters=cfg.tpu_max_iters,
+        )
+        pos = _pos_from_height(height)
+        return Path(
+            created=time.time(),
+            directions=extract_directions_from_next(dist, next_dir, pos, start),
+        )
     conns = _connections_from_height(height)
     dist, parent = dijkstra_grid(height, conns, seeds)
     pos = _pos_from_height(height)

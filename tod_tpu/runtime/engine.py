@@ -52,6 +52,11 @@ class Engine:
         seed: int = 0,
     ):
         self.cfg = cfg or PipelineConfig()
+        from tod_tpu.core.config import validate
+
+        problems = validate(self.cfg)
+        if problems:
+            raise ValueError("invalid PipelineConfig: " + "; ".join(problems))
         self.mode = mode
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -227,15 +232,19 @@ class _UploadWorker:
         self._stop = False
 
         def _loop():
-            n = 0
-            for frame in source.frames():
-                if self._stop or (n_frames is not None and n >= n_frames):
-                    break
-                rgb_d = jax.device_put(np.ascontiguousarray(frame.rgb))
-                depth_d = jax.device_put(np.ascontiguousarray(frame.depth))
-                self._q.put((rgb_d, depth_d))
-                n += 1
-            self._q.put(self._SENTINEL)
+            try:
+                n = 0
+                for frame in source.frames():
+                    if self._stop or (n_frames is not None and n >= n_frames):
+                        break
+                    rgb_d = jax.device_put(np.ascontiguousarray(frame.rgb))
+                    depth_d = jax.device_put(np.ascontiguousarray(frame.depth))
+                    self._q.put((rgb_d, depth_d))
+                    n += 1
+            finally:
+                # the sentinel must reach the consumer even if the source or a
+                # device_put raises — otherwise run() blocks forever on next()
+                self._q.put(self._SENTINEL)
 
         self._thread = threading.Thread(target=_loop, daemon=True, name="tod-uploader")
         self._thread.start()

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tod_tpu.ops.masks import assemble_masks
+from tod_tpu.ops.masks import assemble_masks, crop_masks
 
 NEG_POS_RATIO = 3
 
@@ -71,20 +71,13 @@ def mask_loss(prototypes, coeff, matched_gt, pos_mask, iou_quality, gt_masks, gt
         targets * jnp.log(jnp.clip(masks, 1e-6, 1.0))
         + (1.0 - targets) * jnp.log(jnp.clip(1.0 - masks, 1e-6, 1.0))
     )
-    # crop to gt box + normalize by its area
+    # crop to gt box (same pixel-center convention as inference cropping) and
+    # normalize by box area (YOLACT's small-object reweighting)
     boxes = gt_boxes[sel_gt]
-    ys = (jnp.arange(hm, dtype=jnp.float32) + 0.5) / hm
-    xs = (jnp.arange(wm, dtype=jnp.float32) + 0.5) / wm
-    inside = (
-        (ys[None, :, None] >= boxes[:, 0, None, None])
-        & (ys[None, :, None] <= boxes[:, 2, None, None])
-        & (xs[None, None, :] >= boxes[:, 1, None, None])
-        & (xs[None, None, :] <= boxes[:, 3, None, None])
-    )
     area = jnp.maximum(
         (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-4
     )
-    per_inst = jnp.sum(jnp.where(inside, bce, 0.0), axis=(1, 2)) / (area * hm * wm)
+    per_inst = jnp.sum(crop_masks(bce, boxes), axis=(1, 2)) / (area * hm * wm)
     n_sel = jnp.maximum(jnp.sum(sel_valid), 1)
     return jnp.sum(jnp.where(sel_valid, per_inst, 0.0)) / n_sel
 
@@ -103,23 +96,11 @@ def yolact_loss(outputs, anchors, batch, loss_weights=(1.0, 1.5, 6.125, 1.0), ma
       ``gt_masks`` (B, M, Hm, Wm), ``sem_target`` (B, Hs, Ws) i32.
     Returns (total, dict of components).
     """
-    from tod_tpu.ops.anchors import box_iou
     from tod_tpu.train.matcher import match_anchors
 
     def per_example(loc, conf, coeff, protos, sem, gt_boxes, gt_classes, gt_valid, gt_masks, sem_target):
         m = match_anchors(anchors, gt_boxes, gt_classes, gt_valid)
-        corners = jnp.stack(
-            [
-                anchors[:, 0] - anchors[:, 2] / 2,
-                anchors[:, 1] - anchors[:, 3] / 2,
-                anchors[:, 0] + anchors[:, 2] / 2,
-                anchors[:, 1] + anchors[:, 3] / 2,
-            ],
-            axis=-1,
-        )
-        iou = box_iou(corners, gt_boxes)
-        iou = jnp.where(gt_valid[None, :], iou, -1.0)
-        quality = jnp.max(iou, axis=1)
+        quality = m["best_iou"]  # match quality, computed once by the matcher
         l_cls = classification_loss(conf, m["cls_target"])
         l_box = box_loss(loc, m["box_target"], m["pos_mask"])
         l_mask = mask_loss(

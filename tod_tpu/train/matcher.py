@@ -29,6 +29,7 @@ def match_anchors(anchors, gt_boxes, gt_classes, gt_valid):
       ``box_target``  (A, 4) f32 — encoded offsets (valid where matched > 0)
       ``matched_gt``  (A,) i32 — index of the matched gt (−1 if none)
       ``pos_mask``    (A,) bool
+      ``best_iou``    (A,) f32 — each anchor's best gt overlap (match quality)
     """
     a = anchors.shape[0]
     # anchors to corner form for IoU
@@ -76,4 +77,5 @@ def match_anchors(anchors, gt_boxes, gt_classes, gt_valid):
         "box_target": box_target,
         "matched_gt": matched_gt,
         "pos_mask": pos,
+        "best_iou": best_iou,
     }

@@ -79,8 +79,12 @@ int tod_dijkstra(const float* height, const float* conns, int h, int w,
 // materializes per pt_cloud_weights.comp — plus the planner's |Δh| term,
 // src/path.rs:59).  Avoids materializing and reading back the (H, W, 8)
 // connections tensor: the hot serving loop only transfers the height map.
+// start_y/start_x: early-exit target — the search stops once the start node
+// is settled (its shortest path is final when popped), typically saving half
+// the grid relaxations.  Pass (-1, -1) to settle the whole grid.
 int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
-                        int n_seeds, double* dist, int64_t* parent) {
+                        int n_seeds, int start_y, int start_x, double* dist,
+                        int64_t* parent) {
   const int64_t n = static_cast<int64_t>(h) * w;
   for (int64_t i = 0; i < n; ++i) {
     dist[i] = INFINITY;
@@ -98,6 +102,7 @@ int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
     pq.pop();
     const int64_t idx = static_cast<int64_t>(top.y) * w + top.x;
     if (top.dist > dist[idx]) continue;
+    if (top.y == start_y && top.x == start_x) break;  // start settled
     const double h0 = height[idx];
     for (int i = 0; i < 8; ++i) {
       const int ny = top.y + DY[i], nx = top.x + DX[i];

@@ -33,7 +33,8 @@ def _lib() -> ctypes.CDLL | None:
     ]
     lib.tod_dijkstra.restype = ctypes.c_int
     lib.tod_dijkstra_height.argtypes = [
-        _f32p, ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_int, _f64p, _i64p,
+        _f32p, ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, _f64p, _i64p,
     ]
     lib.tod_dijkstra_height.restype = ctypes.c_int
     lib.tod_ring_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]

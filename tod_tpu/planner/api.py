@@ -73,7 +73,8 @@ def plan_from_height(
             seed_arr = np.ascontiguousarray(np.array(seeds, np.int32))
             lib.tod_dijkstra_height(
                 height.reshape(-1), hw[0], hw[1], seed_arr.reshape(-1),
-                len(seeds), dist.reshape(-1), parent.reshape(-1),
+                len(seeds), start[0], start[1],
+                dist.reshape(-1), parent.reshape(-1),
             )
             pos = _pos_from_height(height)
             return Path(

@@ -73,3 +73,15 @@ class TestTrainer:
         want = jax.tree.leaves(trainer.state.params)[0]
         np.testing.assert_allclose(np.asarray(after), np.asarray(want))
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestFocalLoss:
+    def test_focal_finite_and_decreases(self):
+        import dataclasses as dc
+
+        tcfg = dc.replace(TTRAIN, cls_loss="focal")
+        trainer = Trainer(TINY, tcfg)
+        data = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=5)
+        first = trainer.train(data, steps=1, log_every=1, log_fn=lambda *_: None)
+        later = trainer.train(data, steps=8, log_every=8, log_fn=lambda *_: None)
+        assert np.isfinite(first["loss"]) and later["loss"] < first["loss"]

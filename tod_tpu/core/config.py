@@ -124,6 +124,7 @@ class TrainConfig:
     total_steps: int = 20_000
     # YOLACT loss weights (cls, box, mask, semantic) per the YOLACT paper
     loss_weights: tuple[float, float, float, float] = (1.0, 1.5, 6.125, 1.0)
+    cls_loss: str = "ohem"  # "ohem" | "focal"
     seed: int = 0
 
 

@@ -46,6 +46,23 @@ def classification_loss(conf, cls_target):
     return jnp.sum(jnp.where(keep, ce, 0.0)) / n_pos
 
 
+def focal_classification_loss(conf, cls_target, alpha: float = 0.25, gamma: float = 2.0):
+    """Focal loss alternative to OHEM (RetinaNet-style) — handles the 81-way
+    background imbalance without mining; usually yields better-calibrated
+    confidence than OHEM on small synthetic datasets."""
+    a, c = conf.shape
+    valid = cls_target >= 0
+    labels = jnp.clip(cls_target, 0, c - 1)
+    logp = jax.nn.log_softmax(conf, axis=-1)
+    pt = jnp.exp(logp[jnp.arange(a), labels])
+    ce = -logp[jnp.arange(a), labels]
+    pos = cls_target > 0
+    alpha_t = jnp.where(pos, alpha, 1.0 - alpha)
+    fl = alpha_t * (1.0 - pt) ** gamma * ce
+    n_pos = jnp.maximum(jnp.sum(pos), 1)
+    return jnp.sum(jnp.where(valid, fl, 0.0)) / n_pos
+
+
 def box_loss(loc, box_target, pos_mask):
     n_pos = jnp.maximum(jnp.sum(pos_mask), 1)
     per_anchor = jnp.sum(_smooth_l1(loc - box_target), axis=-1)
@@ -88,7 +105,14 @@ def semantic_loss(sem_logits, sem_target):
     return jnp.mean(ce)
 
 
-def yolact_loss(outputs, anchors, batch, loss_weights=(1.0, 1.5, 6.125, 1.0), max_masks: int = 16):
+def yolact_loss(
+    outputs,
+    anchors,
+    batch,
+    loss_weights=(1.0, 1.5, 6.125, 1.0),
+    max_masks: int = 16,
+    cls_loss: str = "ohem",
+):
     """Total loss over a batch.
 
     outputs: YolactOutputs (batched); batch: dict with
@@ -101,7 +125,10 @@ def yolact_loss(outputs, anchors, batch, loss_weights=(1.0, 1.5, 6.125, 1.0), ma
     def per_example(loc, conf, coeff, protos, sem, gt_boxes, gt_classes, gt_valid, gt_masks, sem_target):
         m = match_anchors(anchors, gt_boxes, gt_classes, gt_valid)
         quality = m["best_iou"]  # match quality, computed once by the matcher
-        l_cls = classification_loss(conf, m["cls_target"])
+        if cls_loss == "focal":
+            l_cls = focal_classification_loss(conf, m["cls_target"])
+        else:
+            l_cls = classification_loss(conf, m["cls_target"])
         l_box = box_loss(loc, m["box_target"], m["pos_mask"])
         l_mask = mask_loss(
             protos, coeff, m["matched_gt"], m["pos_mask"], quality,

@@ -58,7 +58,9 @@ def make_train_step(model, anchors, tx, tcfg: TrainConfig) -> Callable:
                 train=True,
                 mutable=["batch_stats"],
             )
-            total, comps = yolact_loss(out, anchors, batch, tcfg.loss_weights)
+            total, comps = yolact_loss(
+                out, anchors, batch, tcfg.loss_weights, cls_loss=tcfg.cls_loss
+            )
             return total, (comps, mut["batch_stats"])
 
         (total, (comps, new_stats)), grads = jax.value_and_grad(

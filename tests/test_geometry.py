@@ -153,3 +153,31 @@ class TestFuseScene:
         assert scene.connections.shape == (CAM.height, CAM.width, 8)
         # robots must leave a tall avoidance plateau (bump of 100 minus err band)
         assert float(np.asarray(scene.height).max()) >= GEOM.bot_avoidance_const * 0.9
+
+
+class TestBatchedFusion:
+    def test_vmap_matches_per_frame(self, scene_inputs):
+        import jax
+
+        from tod_tpu.geometry.fusion import fuse_scene_batch
+
+        depth, cls, ids = scene_inputs
+        rng = np.random.default_rng(11)
+        depth_b = np.stack([depth, rng.integers(200, 3500, depth.shape).astype(np.uint16)])
+        cls_b = np.stack([cls, np.roll(cls, 5, axis=1)])
+        ids_b = np.stack([ids, np.roll(ids, 5, axis=1)])
+        batch = fuse_scene_batch(
+            jnp.asarray(depth_b), jnp.asarray(cls_b), jnp.asarray(ids_b), CAM, GEOM
+        )
+        assert batch.height.shape == (2, CAM.height, CAM.width)
+        for b in range(2):
+            single = fuse_scene(
+                jnp.asarray(depth_b[b]), jnp.asarray(cls_b[b]), jnp.asarray(ids_b[b]),
+                CAM, GEOM,
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch.height[b]), np.asarray(single.height), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch.balls[b]), np.asarray(single.balls), atol=1e-3
+            )

@@ -281,3 +281,14 @@ def fuse_scene(
     balls = ball_centroids(depth_mm, cls_map, id_map, cam, geom)
     pos, conns = connection_weights(height, use_pallas=use_pallas)
     return Scene(height=height, pos=pos, balls=balls, connections=conns)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "geom", "use_pallas"))
+def fuse_scene_batch(depth_mm, cls_map, id_map, cam, geom, use_pallas: bool = False):
+    """Batched fusion (BASELINE.json config 4: per-mask depth→point-cloud at
+    batch 8): vmap of :func:`fuse_scene` over the leading batch axis.  The
+    scatter/dilation/segment ops all batch cleanly; Pallas paths fall back to
+    the XLA-fused forms under vmap."""
+    return jax.vmap(
+        lambda d, c, i: fuse_scene.__wrapped__(d, c, i, cam, geom, use_pallas=False)
+    )(depth_mm, cls_map, id_map)

@@ -184,3 +184,16 @@ class TestPlanFromHeight:
         assert sum(m for m, _ in a.directions) == pytest.approx(
             sum(m for m, _ in c.directions), rel=1e-5
         )
+
+    def test_tpu_backend_and_unknown_backend(self, wall_scene):
+        from tod_tpu.planner.api import plan_from_height
+
+        h = np.asarray(wall_scene.height)
+        b = np.asarray(wall_scene.balls)
+        t = plan_from_height(h, b, PlannerConfig(backend="tpu"))
+        n = plan_from_height(h, b, PlannerConfig(backend="numpy"))
+        assert sum(m for m, _ in t.directions) == pytest.approx(
+            sum(m for m, _ in n.directions), rel=1e-4
+        )
+        with pytest.raises(ValueError):
+            plan_from_height(h, b, PlannerConfig(backend="nativ"))

@@ -121,6 +121,17 @@ class Engine:
 
         self._serve_step = jax.jit(_serve_step)
 
+        # Packed-frame variant: rgb+depth arrive as ONE (H, W, 5) u8 buffer so
+        # the transfer thread pays a single transport round trip per frame
+        # (two device_puts cost two).  Depth bytes are little-endian u16 pairs,
+        # unpacked on device with a bitcast.
+        def _serve_step_packed(p, packed):
+            rgb = packed[..., :3]
+            depth = jax.lax.bitcast_convert_type(packed[..., 3:5], jnp.uint16)
+            return _serve_step(p, rgb, depth)
+
+        self._serve_step_packed = jax.jit(_serve_step_packed)
+
     def warmup(self) -> float:
         """Compile the graph on a dummy frame; returns compile seconds."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
@@ -130,6 +141,9 @@ class Engine:
         scene, dets = self._step(self.params, rgb, depth)
         jax.block_until_ready(scene.height)
         hh, bb = self._serve_step(self.params, rgb, depth)
+        jax.block_until_ready(hh)
+        packed = jnp.zeros((h, w, 5), jnp.uint8)
+        hh, bb = self._serve_step_packed(self.params, packed)
         jax.block_until_ready(hh)
         return time.perf_counter() - t0
 
@@ -180,8 +194,7 @@ class Engine:
             item = uploader.next()
             if item is None:
                 break
-            rgb_d, depth_d = item
-            height_d, balls_d = self._serve_step(self.params, rgb_d, depth_d)
+            height_d, balls_d = self._serve_step_packed(self.params, item)
             if planner is not None:
                 planner.submit((height_d, balls_d))
             n_done += 1
@@ -237,9 +250,13 @@ class _UploadWorker:
                 for frame in source.frames():
                     if self._stop or (n_frames is not None and n >= n_frames):
                         break
-                    rgb_d = jax.device_put(np.ascontiguousarray(frame.rgb))
-                    depth_d = jax.device_put(np.ascontiguousarray(frame.depth))
-                    self._q.put((rgb_d, depth_d))
+                    # pack rgb + depth bytes into one buffer: one transport
+                    # round trip per frame instead of two
+                    h, w = frame.depth.shape
+                    packed = np.empty((h, w, 5), np.uint8)
+                    packed[..., :3] = frame.rgb
+                    packed[..., 3:5] = frame.depth.astype("<u2").view(np.uint8).reshape(h, w, 2)
+                    self._q.put(jax.device_put(packed))
                     n += 1
             finally:
                 # the sentinel must reach the consumer even if the source or a

@@ -1,6 +1,7 @@
 """Pallas kernels (interpret mode on CPU) vs their jnp oracles."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tod_tpu.core.config import CameraConfig, GeometryConfig
@@ -67,3 +68,25 @@ class TestConnectionsKernel:
         np.testing.assert_allclose(
             np.asarray(conns_a), np.asarray(conns_b), atol=1e-5
         )
+
+
+class TestStripBumpKernel:
+    def test_strip_tiled_matches_jnp(self):
+        from tod_tpu.kernels.bump import dilate_peaks_strips
+
+        rng = np.random.default_rng(5)
+        h, w, L = 32, 40, 3
+        ext = np.zeros((h + 2 * L, w + 2 * L), np.float32)
+        m = rng.random(ext.shape) < 0.08
+        ext[m] = rng.uniform(1, 30, m.sum())
+        got = np.asarray(
+            dilate_peaks_strips(jnp.asarray(ext), L, 0.1, (h, w), strip_h=8)
+        )
+        want = np.asarray(_dilate_peaks(jnp.asarray(ext), L, 0.1, (h, w)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_rejects_unaligned_strips(self):
+        from tod_tpu.kernels.bump import dilate_peaks_strips
+
+        with pytest.raises(ValueError):
+            dilate_peaks_strips(jnp.zeros((36, 44)), 2, 0.1, (30, 40), strip_h=8)

@@ -38,6 +38,85 @@ from jax.experimental.pallas import tpu as pltpu
 _FAR = 1e9  # "no source in window" sentinel for min-distance²
 
 
+def _kernel_var_strips(hbm_ref, out_ref, *, strip_h, w, pad, L, bump_err):
+    """Strip-tiled variable-value dilation.
+
+    The padded peak map stays in HBM (memory_space=ANY); each grid program
+    DMAs its (strip + 2L halo) rows into VMEM scratch — DMA slicing supports
+    the dynamic (program-id-dependent) row offset that vector-lane slicing
+    doesn't — then runs the (2L)² static displacement loop over the strip.
+    Unrolled-load liveness is bounded by (2L)²·strip_h·W·4B instead of
+    (2L)²·H·W·4B, which is what kept the whole-array variant off VGA frames.
+
+    Hardware status (this container's remote-compile Mosaic build): validated
+    exact in interpret mode; on the real chip the compile helper crashes on
+    ANY lane-unaligned static slice of a DMA'd scratch buffer (bisected: a
+    bare halo-DMA + interior slice already crashes, while the same structure
+    with aligned (strip, W) scratch and full-width reads compiles and runs
+    correctly).  The production occupancy path therefore stays on the
+    XLA-fused loop (geometry.fusion); this kernel is the intended design for
+    a toolchain where that compiler bug is fixed.
+    """
+    c2 = 2.0 / L
+    i = pl.program_id(0)  # read outside run_scoped (no grid ctx inside)
+
+    def body(scratch, sem):
+        rows = strip_h + 2 * pad
+        dma = pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(i * strip_h, rows), :], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((strip_h, w), jnp.float32)
+        for dy in range(-L, L):
+            for dx in range(-L, L):
+                prox = float((dy * dy + dx * dx) ** 0.5)
+                src = scratch[pl.ds(pad - dy, strip_h), pl.ds(pad - dx, w)]
+                c1 = jnp.maximum(src / bump_err - 1.0, 1e-6)
+                g = jnp.floor(src / (1.0 + jnp.power(c1, c2 * prox - 1.0)))
+                acc = jnp.maximum(acc, jnp.where(src > 0, g, 0.0))
+        out_ref[:] = acc
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((strip_h + 2 * pad, w + 2 * pad), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA,
+    )
+
+
+def dilate_peaks_strips(
+    peaks_ext,
+    bump_size: int,
+    bump_err: float,
+    out_shape: tuple[int, int],
+    strip_h: int = 16,
+    interpret: bool | None = None,
+):
+    """Grid-tiled variable-value dilation (works at VGA sizes; see
+    _kernel_var_strips).  Requires H divisible by strip_h."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = out_shape
+    pad = (peaks_ext.shape[0] - h) // 2
+    if h % strip_h:
+        raise ValueError(f"H={h} not divisible by strip_h={strip_h}")
+    kernel = functools.partial(
+        _kernel_var_strips, strip_h=strip_h, w=w, pad=pad, L=bump_size,
+        bump_err=bump_err,
+    )
+    grid = (h // strip_h,)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (strip_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(peaks_ext.astype(jnp.float32))
+
+
 def _kernel_var(peaks_ref, out_ref, *, h, w, pad, L, bump_err):
     c2 = 2.0 / L
     acc = jnp.zeros((h, w), jnp.float32)

@@ -94,3 +94,19 @@ class TestServer:
         finally:
             for c in clients:
                 c.close()
+
+    def test_v2_length_prefixed(self, server):
+        store, srv = server
+        store.set(Path(created=1700000005.0, directions=[(1.0, 2.0), (3.0, 4.0)]))
+        with PathClient(port=srv.port) as c:
+            p = c.get_path_v2()
+        assert p.created == 1700000005.0
+        assert p.directions == [(1.0, 2.0), (3.0, 4.0)]
+        # raw framing: u32 BE length then payload
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(b"GetPth2")
+        time.sleep(0.1)
+        data = s.recv(1024)
+        n = int.from_bytes(data[:4], "big")
+        assert n == 8 + 2 * 8 and len(data) == 4 + n
+        s.close()

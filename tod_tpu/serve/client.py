@@ -48,6 +48,23 @@ class PathClient:
             self.sock.settimeout(5.0)
         return Path.deserialize(data)
 
+    def get_path_v2(self) -> Path:
+        """Length-prefixed variant (server extension ``GetPth2``): exact
+        framing, no read-timeout heuristics."""
+        self.sock.sendall(b"GetPth2")
+        hdr = self._read_exactly(4)
+        n = int.from_bytes(hdr, "big")
+        return Path.deserialize(self._read_exactly(n))
+
+    def _read_exactly(self, n: int) -> bytes:
+        data = b""
+        while len(data) < n:
+            chunk = self.sock.recv(n - len(data))
+            if not chunk:
+                raise ConnectionError("short read")
+            data += chunk
+        return data
+
     def close(self) -> None:
         self.sock.close()
 

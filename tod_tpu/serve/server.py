@@ -71,6 +71,13 @@ class PathServer:
                 elif buf == b"GetPath":
                     writer.write(self.store.get().serialize())
                     await writer.drain()
+                elif buf == b"GetPth2":
+                    # v2 extension (not in the reference): same payload,
+                    # prefixed with a u32 BE byte length so clients can frame
+                    # replies without read-timeout heuristics
+                    payload = self.store.get().serialize()
+                    writer.write(len(payload).to_bytes(4, "big") + payload)
+                    await writer.drain()
                 else:
                     log.error("RequestError(%r is not a request)", buf)
                     return

@@ -8,6 +8,7 @@
 // m: connections[n][dir(m→n reversed)] + |height[n] − height[m]|, matching
 // tod_tpu/planner/dijkstra.py (the NumPy oracle it is tested against).
 
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <cstring>
@@ -74,22 +75,13 @@ int tod_dijkstra(const float* height, const float* conns, int h, int w,
   return 0;
 }
 
-// Height-only variant: edge weights are derived from the height map inline
-// (connections[n][i] = sqrt(dx² + dy² + Δh²) — exactly what the fusion stage
-// materializes per pt_cloud_weights.comp — plus the planner's |Δh| term,
-// src/path.rs:59).  Avoids materializing and reading back the (H, W, 8)
-// connections tensor: the hot serving loop only transfers the height map.
-// start_y/start_x: early-exit target — the search stops once the start node
-// is settled (its shortest path is final when popped), typically saving half
-// the grid relaxations.  Pass (-1, -1) to settle the whole grid.
-int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
-                        int n_seeds, int start_y, int start_x, double* dist,
-                        int64_t* parent) {
-  const int64_t n = static_cast<int64_t>(h) * w;
-  for (int64_t i = 0; i < n; ++i) {
-    dist[i] = INFINITY;
-    parent[i] = -1;
-  }
+namespace {
+
+// Binary-heap fallback for the height-only variant (used when the bucket
+// queue's window would be degenerate — see tod_dijkstra_height).
+void dijkstra_height_heap(const float* height, int h, int w,
+                          const int32_t* seeds, int n_seeds, int start_y,
+                          int start_x, double* dist, int64_t* parent) {
   std::priority_queue<QNode, std::vector<QNode>, std::greater<QNode>> pq;
   for (int s = 0; s < n_seeds; ++s) {
     int32_t y = seeds[2 * s], x = seeds[2 * s + 1];
@@ -117,6 +109,105 @@ int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
         pq.push({nd, static_cast<int32_t>(ny), static_cast<int32_t>(nx)});
       }
     }
+  }
+}
+
+}  // namespace
+
+// Height-only variant: edge weights are derived from the height map inline
+// (connections[n][i] = sqrt(dx² + dy² + Δh²) — exactly what the fusion stage
+// materializes per pt_cloud_weights.comp — plus the planner's |Δh| term,
+// src/path.rs:59).  Avoids materializing and reading back the (H, W, 8)
+// connections tensor: the hot serving loop only transfers the height map.
+// start_y/start_x: early-exit target — the search stops once the start node
+// is settled (its shortest path is final when popped), typically saving half
+// the grid relaxations.  Pass (-1, -1) to settle the whole grid.
+//
+// Queue: Dial-style circular bucket queue.  Every edge weighs at least 1.0
+// (a straight step is sqrt(1 + dh²) + |dh| ≥ 1), so with bucket width 1.0 a
+// node popped from bucket ⌊d⌋ can never be improved by another node of the
+// same bucket (any relaxation adds ≥ 1 and lands in a strictly later bucket).
+// Processing buckets in increasing order therefore settles nodes in true
+// Dijkstra order with O(1) pushes/pops instead of the binary heap's O(log n);
+// the active window is at most cmax = sqrt(2 + Δhmax²) + Δhmax buckets wide,
+// so a circular array of ⌈cmax⌉ + 2 buckets suffices.  Falls back to the
+// heap when the height range makes that window degenerate (> 1<<16 buckets).
+int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
+                        int n_seeds, int start_y, int start_x, double* dist,
+                        int64_t* parent) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  for (int64_t i = 0; i < n; ++i) {
+    dist[i] = INFINITY;
+    parent[i] = -1;
+  }
+
+  float hmin = INFINITY, hmax = -INFINITY;
+  for (int64_t i = 0; i < n; ++i) {
+    hmin = std::min(hmin, height[i]);
+    hmax = std::max(hmax, height[i]);
+  }
+  const double dhmax = static_cast<double>(hmax) - hmin;
+  const double cmax = std::sqrt(2.0 + dhmax * dhmax) + dhmax;
+  if (!(cmax >= 0.0) || cmax > static_cast<double>(1 << 16)) {
+    dijkstra_height_heap(height, h, w, seeds, n_seeds, start_y, start_x, dist,
+                         parent);
+    return 0;
+  }
+
+  const int64_t nbuckets = static_cast<int64_t>(cmax) + 2;
+  std::vector<std::vector<int64_t>> buckets(nbuckets);
+  std::vector<uint8_t> settled(n, 0);
+  int64_t pending = 0;
+
+  for (int s = 0; s < n_seeds; ++s) {
+    int32_t y = seeds[2 * s], x = seeds[2 * s + 1];
+    if (y < 0 || y >= h || x < 0 || x >= w) continue;
+    const int64_t idx = static_cast<int64_t>(y) * w + x;
+    if (dist[idx] == 0.0) continue;  // duplicate seed
+    dist[idx] = 0.0;
+    buckets[0].push_back(idx);
+    ++pending;
+  }
+  const int64_t start_idx =
+      (start_y >= 0 && start_x >= 0) ? static_cast<int64_t>(start_y) * w + start_x
+                                     : -1;
+
+  for (int64_t cur = 0; pending > 0; ++cur) {
+    std::vector<int64_t>& bucket = buckets[cur % nbuckets];
+    // A node relaxed within this bucket's distance band re-enters the SAME
+    // bucket only via a stale earlier push (impossible: edges ≥ 1), so one
+    // sweep settles it; iterate by index in case of reallocation anyway.
+    for (size_t bi = 0; bi < bucket.size(); ++bi) {
+      const int64_t idx = bucket[bi];
+      --pending;
+      if (settled[idx]) continue;  // stale entry (improved into earlier bucket)
+      const double d0 = dist[idx];
+      if (static_cast<int64_t>(d0) != cur) continue;  // stale (moved buckets)
+      settled[idx] = 1;
+      if (idx == start_idx) {  // start settled — its label is final
+        pending = 0;
+        break;
+      }
+      const int32_t y = static_cast<int32_t>(idx / w);
+      const int32_t x = static_cast<int32_t>(idx % w);
+      const double h0 = height[idx];
+      for (int i = 0; i < 8; ++i) {
+        const int ny = y + DY[i], nx = x + DX[i];
+        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+        const int64_t nidx = static_cast<int64_t>(ny) * w + nx;
+        if (settled[nidx]) continue;
+        const double dh = static_cast<double>(height[nidx]) - h0;
+        const double base = (DY[i] != 0 && DX[i] != 0) ? 2.0 : 1.0;
+        const double nd = d0 + std::sqrt(base + dh * dh) + std::fabs(dh);
+        if (nd < dist[nidx]) {
+          dist[nidx] = nd;
+          parent[nidx] = idx;
+          buckets[static_cast<int64_t>(nd) % nbuckets].push_back(nidx);
+          ++pending;
+        }
+      }
+    }
+    bucket.clear();
   }
   return 0;
 }

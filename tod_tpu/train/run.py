@@ -18,6 +18,7 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--small", action="store_true", help="tiny model for smoke runs")
+    p.add_argument("--cls-loss", default="ohem", choices=("ohem", "focal"))
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
@@ -35,7 +36,7 @@ def main(argv=None) -> int:
         )
     tcfg = TrainConfig(
         batch_size=args.batch, learning_rate=args.lr, total_steps=args.steps,
-        warmup_steps=min(500, max(args.steps // 10, 1)),
+        warmup_steps=min(500, max(args.steps // 10, 1)), cls_loss=args.cls_loss,
     )
     mesh = None
     if args.tp > 1:

@@ -95,6 +95,63 @@ class TestServer:
             for c in clients:
                 c.close()
 
+    def test_reconnect_after_server_restart(self, server):
+        # robot-side recovery: the vision process restarts mid-match and the
+        # polling client must ride it out (retries>0 → reconnect + retry)
+        store, srv = server
+        store.set(Path(created=1700000006.0, directions=[(1.0, 0.0)]))
+        port = srv.port
+        c = PathClient(port=port, retries=3, backoff=0.05)
+        assert c.get_path().created == 1700000006.0
+        stop_thread_server(srv)
+        time.sleep(0.1)
+        store2 = PathStore()
+        store2.set(Path(created=1700000007.0, directions=[(2.0, 0.5)]))
+        t2, srv2 = run_in_thread(store2, ServerConfig(port=port))
+        try:
+            p = c.get_path_v2()  # old socket is dead → reconnect kicks in
+            assert p.created == 1700000007.0
+            assert p.directions == [(2.0, 0.5)]
+        finally:
+            c.close()
+            stop_thread_server(srv2)
+            t2.join(timeout=5)
+
+    def test_connect_backoff_initially_down(self):
+        # grab an ephemeral port, leave it closed, start the server shortly
+        # after the client begins its connect-retry loop
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        store = PathStore()
+        store.set(Path(created=1700000008.0, directions=[]))
+        import threading
+
+        holder = {}
+
+        def start_late():
+            time.sleep(0.3)
+            holder["t"], holder["srv"] = run_in_thread(store, ServerConfig(port=port))
+
+        threading.Thread(target=start_late, daemon=True).start()
+        c = PathClient(port=port, retries=8, backoff=0.1)
+        try:
+            assert c.get_path().created == 1700000008.0
+        finally:
+            c.close()
+            if "srv" in holder:
+                stop_thread_server(holder["srv"])
+                holder["t"].join(timeout=5)
+
+    def test_failfast_without_retries(self):
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        with pytest.raises(OSError):
+            PathClient(port=port)  # retries=0 → old fail-fast behavior
+
     def test_v2_length_prefixed(self, server):
         store, srv = server
         store.set(Path(created=1700000005.0, directions=[(1.0, 2.0), (3.0, 4.0)]))

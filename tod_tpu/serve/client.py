@@ -2,24 +2,87 @@
 
 The reference has no client fixture (SURVEY.md §4: "The TCP protocol is testable
 with any client; no fixture exists") — this one exists for tests, tooling, and
-as a reference implementation of the robot-controller side.
+as a reference implementation of the robot-controller side.  Unlike the
+reference's server (which logs ``RequestError`` and drops the connection,
+src/path.rs:142-150, with no client-side recovery story), this client owns the
+robot-side failure handling: optional connect retries with exponential backoff
+and transparent reconnect-and-retry when a request hits a dead connection —
+a robot controller polling mid-match must ride out a vision-process restart.
 """
 
 from __future__ import annotations
 
 import socket
+import time
 
 from tod_tpu.core.types import Path
 
 
 class PathClient:
-    def __init__(self, host: str = "127.0.0.1", port: int = 8080, timeout: float = 5.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+    """One path-protocol connection.
 
+    ``retries``/``backoff`` control recovery: the initial connect is attempted
+    ``1 + retries`` times with exponential backoff (``backoff``, 2x per try,
+    capped at 2 s), and each request that fails with a connection error is
+    retried on a fresh connection up to ``retries`` times.  ``retries=0``
+    (default) keeps the old fail-fast behavior.
+    """
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        timeout: float = 5.0,
+        retries: int = 0,
+        backoff: float = 0.1,
+    ):
+        self.host, self.port, self.timeout = host, port, timeout
+        self.retries, self.backoff = retries, backoff
+        self.sock: socket.socket | None = None
+        self._connect()
+
+    # --- connection management -------------------------------------------
+    def _connect(self) -> None:
+        delay = self.backoff
+        for attempt in range(self.retries + 1):
+            try:
+                self.sock = socket.create_connection(
+                    (self.host, self.port), timeout=self.timeout
+                )
+                return
+            except OSError:
+                if attempt == self.retries:
+                    raise
+                time.sleep(delay)
+                delay = min(delay * 2, 2.0)
+
+    def _reconnect(self) -> None:
+        self.close()
+        self._connect()
+
+    def _request(self, op):
+        """Run ``op()``; on a connection error, reconnect and retry."""
+        delay = self.backoff
+        for attempt in range(self.retries + 1):
+            try:
+                return op()
+            except (ConnectionError, TimeoutError, OSError):
+                if attempt == self.retries:
+                    raise
+                time.sleep(delay)
+                delay = min(delay * 2, 2.0)
+                self._reconnect()
+        raise AssertionError("unreachable")
+
+    # --- protocol ---------------------------------------------------------
     def new_path(self) -> bool:
         """Send NewPath; returns True on the b"OK" ack."""
-        self.sock.sendall(b"NewPath")
-        return self.sock.recv(2) == b"OK"
+
+        def op() -> bool:
+            self.sock.sendall(b"NewPath")
+            return self._read_exactly(2) == b"OK"
+
+        return self._request(op)
 
     def get_path(self) -> Path:
         """Send GetPath; reads the full serialized Path.
@@ -28,33 +91,35 @@ class PathClient:
         8 bytes of timestamp plus 8 bytes per direction; we read until the
         server would block, relying on each reply being written in one piece.
         """
-        self.sock.sendall(b"GetPath")
-        data = self.sock.recv(8)
-        while len(data) < 8:
-            chunk = self.sock.recv(8 - len(data))
-            if not chunk:
-                raise ConnectionError("short read on GetPath header")
-            data += chunk
-        self.sock.settimeout(0.2)
-        try:
-            while True:
-                chunk = self.sock.recv(65536)
-                if not chunk:
-                    break
-                data += chunk
-        except TimeoutError:
-            pass
-        finally:
-            self.sock.settimeout(5.0)
-        return Path.deserialize(data)
+
+        def op() -> Path:
+            self.sock.sendall(b"GetPath")
+            data = self._read_exactly(8)
+            self.sock.settimeout(0.2)
+            try:
+                while True:
+                    chunk = self.sock.recv(65536)
+                    if not chunk:
+                        break
+                    data += chunk
+            except TimeoutError:
+                pass
+            finally:
+                self.sock.settimeout(self.timeout)
+            return Path.deserialize(data)
+
+        return self._request(op)
 
     def get_path_v2(self) -> Path:
         """Length-prefixed variant (server extension ``GetPth2``): exact
         framing, no read-timeout heuristics."""
-        self.sock.sendall(b"GetPth2")
-        hdr = self._read_exactly(4)
-        n = int.from_bytes(hdr, "big")
-        return Path.deserialize(self._read_exactly(n))
+
+        def op() -> Path:
+            self.sock.sendall(b"GetPth2")
+            n = int.from_bytes(self._read_exactly(4), "big")
+            return Path.deserialize(self._read_exactly(n))
+
+        return self._request(op)
 
     def _read_exactly(self, n: int) -> bytes:
         data = b""
@@ -66,7 +131,12 @@ class PathClient:
         return data
 
     def close(self) -> None:
-        self.sock.close()
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+            self.sock = None
 
     def __enter__(self):
         return self

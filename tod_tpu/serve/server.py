@@ -55,9 +55,14 @@ class PathServer:
         self.store = store
         self.cfg = cfg or ServerConfig()
         self._server: asyncio.AbstractServer | None = None
+        # live connections, so stop() can actually sever them — otherwise a
+        # "stopped" server keeps answering pipelined clients stuck in
+        # readexactly() and wait_closed() never completes
+        self._writers: set[asyncio.StreamWriter] = set()
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
+        self._writers.add(writer)
         try:
             while True:
                 try:
@@ -84,6 +89,7 @@ class PathServer:
         except (ConnectionResetError, BrokenPipeError) as e:
             log.error("failed to read/write socket; err = %r", e)
         finally:
+            self._writers.discard(writer)
             try:
                 writer.close()
                 await writer.wait_closed()
@@ -111,6 +117,8 @@ class PathServer:
     async def stop(self) -> None:
         if self._server is not None:
             self._server.close()
+            for w in list(self._writers):
+                w.close()  # unblocks handlers parked in readexactly()
             await self._server.wait_closed()
             self._server = None
 
@@ -145,5 +153,8 @@ def run_in_thread(store: PathStore, cfg: ServerConfig | None = None):
 
 def stop_thread_server(server: PathServer) -> None:
     loop = getattr(server, "_loop", None)
-    if loop is not None:
-        loop.call_soon_threadsafe(loop.stop)
+    if loop is not None and not loop.is_closed():
+        try:
+            loop.call_soon_threadsafe(loop.stop)
+        except RuntimeError:
+            pass  # loop closed between the check and the call — already down

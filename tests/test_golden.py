@@ -117,3 +117,40 @@ class TestTrainedCheckpoint:
         assert (balls[:, 2] > 0).sum() >= 1, "ball centroid slots populated"
         path = plan_from_height(np.asarray(scene.height), balls, cfg.planner)
         assert len(path.directions) > 50, "a real path to a ball was planned"
+
+    def test_mask_iou_vs_ground_truth(self):
+        """Mask-IoU golden (docs/roadmap.md §1): the pinned checkpoint's
+        semantic masks must overlap the procedural generator's exact ground
+        truth — a numeric quality gate, not just a behavioral one."""
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
+        if not ckpt.exists():
+            pytest.skip("pinned checkpoint not present")
+        from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig
+        from tod_tpu.core.types import Frame
+        from tod_tpu.train.checkpoint import load_checkpoint
+        from tod_tpu.train.synthetic_data import SyntheticDetectionData
+
+        params = load_checkpoint(str(ckpt))
+        cam = CameraConfig(width=320, height=240)
+        cfg = PipelineConfig(camera=cam, model=ModelConfig(input_size=(240, 320)))
+        eng = Engine(cfg, params=params, mode="semantic", use_pallas=False)
+
+        # held-out seed (training used seed 2) with full-res GT semantic masks
+        data = SyntheticDetectionData((240, 320), batch_size=1, seed=1234)
+        ramp = np.linspace(3500, 600, 240).astype(np.uint16)
+        depth = np.broadcast_to(ramp[:, None], (240, 320)).copy()
+        ious = {3: [], 1: [], 2: []}
+        for _ in range(3):
+            img, _, _, _, _, sem = data._scene()
+            _, dets = eng.process(Frame(rgb=img, depth=depth))
+            pred = np.asarray(dets.class_map)
+            for c in ious:
+                gt = sem == c
+                if gt.sum() < 50:
+                    continue  # class absent from this scene
+                pc = pred == c
+                ious[c].append((gt & pc).sum() / max((gt | pc).sum(), 1))
+        per_class = {c: np.mean(v) for c, v in ious.items() if v}
+        assert per_class, "no classes present across scenes"
+        for c, iou in per_class.items():
+            assert iou > 0.55, f"class {c} mask IoU {iou:.3f} below golden band"

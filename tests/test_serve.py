@@ -95,6 +95,42 @@ class TestServer:
             for c in clients:
                 c.close()
 
+    def test_getstat_metrics(self):
+        store = PathStore()
+        store.set(Path(created=time.time() - 3.0, directions=[(1.0, 0.0)]))
+        t, srv = run_in_thread(
+            store, ServerConfig(port=0), stats_fn=lambda: {"fps": 42.0}
+        )
+        try:
+            with PathClient(port=srv.port) as c:
+                c.get_path()
+                stats = c.get_stats()
+            assert stats["requests"]["GetPath"] == 1
+            assert stats["requests"]["GetStat"] == 1
+            assert stats["path_len"] == 1
+            assert 2.0 < stats["path_age_s"] < 60.0
+            assert stats["pipeline"] == {"fps": 42.0}
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_getstat_survives_broken_stats_fn(self):
+        store = PathStore()
+
+        def boom():
+            raise ValueError("meter exploded")
+
+        t, srv = run_in_thread(store, ServerConfig(port=0), stats_fn=boom)
+        try:
+            with PathClient(port=srv.port) as c:
+                stats = c.get_stats()
+                assert "pipeline_error" in stats
+                # server still serves the path protocol afterwards
+                assert c.get_path().directions == []
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
     def test_reconnect_after_server_restart(self, server):
         # robot-side recovery: the vision process restarts mid-match and the
         # polling client must ride it out (retries>0 → reconnect + retry)

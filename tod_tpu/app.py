@@ -92,13 +92,16 @@ def main(argv=None) -> int:
     else:
         source = RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
 
+    engine = Engine(cfg, params=params, mode=args.mode)
     store = PathStore()
     server_thread = server = None
     if not args.no_server:
-        server_thread, server = run_in_thread(store, cfg.server)
+        stats_fn = lambda: {  # noqa: E731 — GetStat live-metrics hook
+            "fps": engine.fps.fps,
+            "stages": engine.timer.summary(),
+        }
+        server_thread, server = run_in_thread(store, cfg.server, stats_fn=stats_fn)
         logging.info("path server on %s:%s", cfg.server.host, server.port)
-
-    engine = Engine(cfg, params=params, mode=args.mode)
     from tod_tpu.runtime.watchdog import Watchdog
 
     watchdog = Watchdog(timeout_s=10.0).start()

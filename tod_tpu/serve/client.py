@@ -121,6 +121,19 @@ class PathClient:
 
         return self._request(op)
 
+    def get_stats(self) -> dict:
+        """Observability extension (``GetStat``): length-prefixed JSON of
+        server counters, path staleness, and live pipeline metrics."""
+
+        def op() -> dict:
+            import json
+
+            self.sock.sendall(b"GetStat")
+            n = int.from_bytes(self._read_exactly(4), "big")
+            return json.loads(self._read_exactly(n))
+
+        return self._request(op)
+
     def _read_exactly(self, n: int) -> bytes:
         data = b""
         while len(data) < n:

@@ -17,6 +17,7 @@ Connections are served concurrently (one task per connection, the tokio
 from __future__ import annotations
 
 import asyncio
+import json
 import logging
 import threading
 import time
@@ -51,9 +52,20 @@ class PathStore:
 
 
 class PathServer:
-    def __init__(self, store: PathStore, cfg: ServerConfig | None = None) -> None:
+    """``stats_fn`` (optional) supplies live pipeline metrics merged into the
+    ``GetStat`` reply (e.g. the Engine's FPS meter / stage timers)."""
+
+    def __init__(
+        self,
+        store: PathStore,
+        cfg: ServerConfig | None = None,
+        stats_fn=None,
+    ) -> None:
         self.store = store
         self.cfg = cfg or ServerConfig()
+        self.stats_fn = stats_fn
+        self._started = time.time()
+        self.counters = {"NewPath": 0, "GetPath": 0, "GetPth2": 0, "GetStat": 0, "errors": 0}
         self._server: asyncio.AbstractServer | None = None
         # live connections, so stop() can actually sever them — otherwise a
         # "stopped" server keeps answering pipelined clients stuck in
@@ -70,20 +82,31 @@ class PathServer:
                 except asyncio.IncompleteReadError:
                     return  # socket closed (the Ok(0) branch, src/path.rs:144)
                 if buf == b"NewPath":
+                    self.counters["NewPath"] += 1
                     self.store.reset()
                     writer.write(b"OK")
                     await writer.drain()
                 elif buf == b"GetPath":
+                    self.counters["GetPath"] += 1
                     writer.write(self.store.get().serialize())
                     await writer.drain()
                 elif buf == b"GetPth2":
                     # v2 extension (not in the reference): same payload,
                     # prefixed with a u32 BE byte length so clients can frame
                     # replies without read-timeout heuristics
+                    self.counters["GetPth2"] += 1
                     payload = self.store.get().serialize()
                     writer.write(len(payload).to_bytes(4, "big") + payload)
                     await writer.drain()
+                elif buf == b"GetStat":
+                    # observability extension: length-prefixed JSON of server
+                    # counters + path staleness + live pipeline metrics
+                    self.counters["GetStat"] += 1
+                    payload = json.dumps(self.stats()).encode()
+                    writer.write(len(payload).to_bytes(4, "big") + payload)
+                    await writer.drain()
                 else:
+                    self.counters["errors"] += 1
                     log.error("RequestError(%r is not a request)", buf)
                     return
         except (ConnectionResetError, BrokenPipeError) as e:
@@ -96,6 +119,21 @@ class PathServer:
             except (ConnectionResetError, BrokenPipeError, OSError):
                 pass
             del peer
+
+    def stats(self) -> dict:
+        path = self.store.get()
+        out = {
+            "uptime_s": time.time() - self._started,
+            "requests": dict(self.counters),
+            "path_age_s": time.time() - path.created,
+            "path_len": len(path.directions),
+        }
+        if self.stats_fn is not None:
+            try:
+                out["pipeline"] = self.stats_fn()
+            except Exception as e:  # metrics must never take the server down
+                out["pipeline_error"] = repr(e)
+        return out
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(
@@ -123,12 +161,12 @@ class PathServer:
             self._server = None
 
 
-def run_in_thread(store: PathStore, cfg: ServerConfig | None = None):
+def run_in_thread(store: PathStore, cfg: ServerConfig | None = None, stats_fn=None):
     """Start the server on a daemon thread with its own event loop; returns
     (thread, server, ready_event) — the runtime uses this so the TPU loop and
     the control plane stay independent (the reference's tokio task split,
     src/main.rs:56-61)."""
-    server = PathServer(store, cfg)
+    server = PathServer(store, cfg, stats_fn=stats_fn)
     ready = threading.Event()
     loop_holder: dict = {}
 

@@ -7,7 +7,7 @@
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 MESH_ENV := $(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: test native bench dryrun train clean
+.PHONY: test native bench bench-all dryrun train clean
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -x -q
@@ -17,6 +17,9 @@ native:
 
 bench:
 	python bench.py
+
+bench-all:  # all five BASELINE.json configs
+	python -m tod_tpu.bench --all
 
 dryrun:
 	$(MESH_ENV) python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

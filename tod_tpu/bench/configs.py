@@ -1,0 +1,218 @@
+"""The five BASELINE.json benchmark configs as runnable functions.
+
+Reference points (BASELINE.md): the reference ran ~50-86 ms per 224×224 tile
+on a Coral USB Edge TPU (two tiles per frame → <7 FPS full-frame) and ~9 s
+per tile on the Pi 4 CPU.  Our configs measure the TPU-native counterparts:
+
+1. single-frame inference on data/frc_balls.png → boxes+masks (latency)
+2. protonet×coeff mask assembly + Fast-NMS on cached head outputs (latency)
+3. full YOLACT graph batch-1 jit with fused preprocess (latency / fps)
+4. RGB-D fusion (pt_cloud.comp port) at batch 8 (latency / frames-per-sec)
+5. streaming end-to-end camera trace (fps) — the repo-root bench.py headline
+
+Every function returns one JSON-able dict with ``metric``/``value``/``unit``
+(+ ``vs_baseline`` where the reference published a comparable number).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import numpy as np
+
+REF_FIXTURE = pathlib.Path("/root/reference/data/frc_balls.png")
+REF_TILE_MS = 50.0  # Coral Edge TPU per-224×224-tile latency, data/README.md:12
+REF_FRAME_FPS = 7.0  # implied full-frame rate (2 tiles + CPU passes), BASELINE.md
+
+
+def _pipeline_cfg():
+    from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig, PlannerConfig
+
+    cam = CameraConfig(width=320, height=240)
+    return PipelineConfig(
+        camera=cam,
+        model=ModelConfig(input_size=(240, 320)),
+        planner=PlannerConfig(backend="auto"),
+    )
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _median_ms(fn, n: int, sync) -> float:
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        sync(fn())
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def _pinned_params():
+    """The pinned trained checkpoint if present (same default as the app)."""
+    ckpt = pathlib.Path(__file__).parent.parent.parent / "checkpoints/yolact_synth"
+    if not ckpt.exists():
+        return None
+    from tod_tpu.train.checkpoint import load_checkpoint
+
+    return load_checkpoint(str(ckpt))
+
+
+def config1_single_frame_fixture() -> dict:
+    """Config 1: single frame on the reference fixture → boxes + masks."""
+    import jax
+
+    from tod_tpu.core.types import Frame
+    from tod_tpu.runtime import Engine, PNGSource
+
+    cfg = _pipeline_cfg()
+    eng = Engine(cfg, params=_pinned_params(), mode="detect", use_pallas=_on_tpu())
+    eng.warmup()
+    frame = next(PNGSource(REF_FIXTURE, cfg.camera, n_frames=1).frames())
+    n = 30 if _on_tpu() else 3
+
+    def step():
+        return eng.process(Frame(rgb=frame.rgb, depth=frame.depth))
+
+    ms = _median_ms(step, n, lambda out: jax.block_until_ready(out[1].masks))
+    scene, dets = step()
+    return {
+        "metric": "latency_single_frame_frc_balls",
+        "value": round(ms, 3),
+        "unit": "ms",
+        # the reference needed two sequential 224×224 Edge-TPU invokes + CPU
+        # resize/pack per frame (~143 ms); ratio >1 = we are faster
+        "vs_baseline": round((1000.0 / REF_FRAME_FPS) / ms, 3),
+        "n_detections": int(np.asarray(dets.valid).sum()),
+        "mask_shape": list(np.asarray(dets.masks).shape),
+        "backend": "tpu" if _on_tpu() else "cpu",
+    }
+
+
+def config2_mask_assembly_nms() -> dict:
+    """Config 2: Fast-NMS + prototype×coeff mask assembly on cached feats."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.models.yolact import create_model, detect
+
+    cfg = _pipeline_cfg().model
+    model, anchors = create_model(cfg)
+    x0 = jnp.zeros((1, *cfg.input_size, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(k, x0, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    outputs = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x0)
+    jax.block_until_ready(outputs.loc)
+    use_pallas = _on_tpu()
+    head = jax.jit(lambda o: detect(o, cfg, anchors, use_pallas=use_pallas))
+    jax.block_until_ready(head(outputs).masks)  # compile
+    n = 50 if _on_tpu() else 5
+    ms = _median_ms(lambda: head(outputs), n, lambda d: jax.block_until_ready(d.masks))
+    return {
+        "metric": "latency_fastnms_mask_assembly",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "pallas": use_pallas,
+        "backend": "tpu" if _on_tpu() else "cpu",
+    }
+
+
+def config3_full_graph_batch1() -> dict:
+    """Config 3: full YOLACT graph batch-1 jit with fused preprocess."""
+    import jax
+
+    from tod_tpu.core.types import Frame
+    from tod_tpu.runtime import Engine, SyntheticSource
+
+    cfg = _pipeline_cfg()
+    eng = Engine(cfg, mode="detect", use_pallas=_on_tpu())
+    compile_s = eng.warmup()
+    frame = next(SyntheticSource(cfg.camera, seed=0, n_frames=1).frames())
+    n = 50 if _on_tpu() else 3
+    ms = _median_ms(
+        lambda: eng.process(Frame(rgb=frame.rgb, depth=frame.depth)),
+        n,
+        lambda out: jax.block_until_ready(out[1].masks),
+    )
+    return {
+        "metric": "latency_full_graph_b1",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "fps_sync": round(1000.0 / ms, 2),
+        "compile_s": round(compile_s, 2),
+        "backend": "tpu" if _on_tpu() else "cpu",
+    }
+
+
+def config4_rgbd_fusion_batch8() -> dict:
+    """Config 4: depth→point-cloud/occupancy fusion (pt_cloud.comp port), b=8."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.geometry.fusion import fuse_scene_batch
+
+    cfg = _pipeline_cfg()
+    cam, geom = cfg.camera, cfg.geometry
+    h, w, b = cam.height, cam.width, 8
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(rng.integers(300, 4000, (b, h, w), dtype=np.uint16))
+    cls_map = jnp.asarray(rng.integers(0, 4, (b, h, w), dtype=np.int32))
+    id_map = jnp.where(cls_map == 3, 0, -1).astype(jnp.int32)
+    use_pallas = _on_tpu()
+    step = jax.jit(lambda d, c, i: fuse_scene_batch(d, c, i, cam, geom, use_pallas=use_pallas))
+    jax.block_until_ready(step(depth, cls_map, id_map).height)  # compile
+    n = 50 if _on_tpu() else 5
+    ms = _median_ms(
+        lambda: step(depth, cls_map, id_map), n, lambda s: jax.block_until_ready(s.height)
+    )
+    return {
+        "metric": "latency_rgbd_fusion_b8",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "frames_per_s": round(b * 1000.0 / ms, 1),
+        "backend": "tpu" if _on_tpu() else "cpu",
+    }
+
+
+def config5_streaming_e2e() -> dict:
+    """Config 5: streaming end-to-end (the repo-root bench.py headline)."""
+    import jax
+
+    from tod_tpu.runtime import Engine, SyntheticSource
+
+    cfg = _pipeline_cfg()
+    on_tpu = _on_tpu()
+    eng = Engine(cfg, mode="detect", use_pallas=on_tpu)
+    eng.warmup()
+    n_frames = 200 if on_tpu else 5
+    source = SyntheticSource(cfg.camera, seed=0, n_frames=n_frames)
+    metrics = eng.run(source, path_store=None, plan_paths=True, warmup=False)
+    fps = metrics["fps"]
+    return {
+        "metric": "fps_e2e_320x240_b1",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_FRAME_FPS, 3),
+        "p50_frame_ms": eng.timer.stats("frame").get("p50_ms"),
+        "backend": jax.default_backend(),
+    }
+
+
+CONFIGS = {
+    1: config1_single_frame_fixture,
+    2: config2_mask_assembly_nms,
+    3: config3_full_graph_batch1,
+    4: config4_rgbd_fusion_batch8,
+    5: config5_streaming_e2e,
+}
+
+
+def run_config(n: int) -> dict:
+    result = CONFIGS[n]()
+    result["config"] = n
+    return result

@@ -1,0 +1,107 @@
+"""Checkpoint evaluation CLI: ``python -m tod_tpu.train.evaluate --ckpt PATH``.
+
+The reference has no evaluation at all (SURVEY.md §4: zero tests; the author
+judged the model by eyeballing BMP dumps).  This is the numeric replacement:
+held-out procedural scenes with exact ground truth → per-class semantic mask
+IoU, detection box quality (best-IoU per GT object), score calibration, and
+duplicate-slot rate.  Used to gate which checkpoint gets pinned in
+``checkpoints/`` (the model-card numbers come from here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def box_iou(a, b) -> float:
+    """IoU of two [y1, x1, y2, x2] boxes (normalized or absolute alike)."""
+    y1 = max(a[0], b[0])
+    x1 = max(a[1], b[1])
+    y2 = min(a[2], b[2])
+    x2 = min(a[3], b[3])
+    inter = max(y2 - y1, 0.0) * max(x2 - x1, 0.0)
+    area_a = max(a[2] - a[0], 0.0) * max(a[3] - a[1], 0.0)
+    area_b = max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
+    union = area_a + area_b - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def evaluate(ckpt: str, n_scenes: int = 16, seed: int = 9999, hw=(240, 320)) -> dict:
+    import numpy as np
+
+    from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig
+    from tod_tpu.core.types import Frame
+    from tod_tpu.runtime.engine import Engine
+    from tod_tpu.train.checkpoint import load_checkpoint
+    from tod_tpu.train.synthetic_data import SyntheticDetectionData
+
+    params = load_checkpoint(ckpt)
+    cam = CameraConfig(width=hw[1], height=hw[0])
+    cfg = PipelineConfig(camera=cam, model=ModelConfig(input_size=hw))
+    # two pipeline modes: the semantic head drives sem_iou (the reference's
+    # observable output), the detection head drives the box metrics
+    eng = Engine(cfg, params=params, mode="detect", use_pallas=False)
+    eng_sem = Engine(cfg, params=params, mode="semantic", use_pallas=False)
+
+    data = SyntheticDetectionData(hw, batch_size=1, seed=seed)
+    ramp = np.linspace(3500, 600, hw[0]).astype(np.uint16)
+    depth = np.broadcast_to(ramp[:, None], hw).copy()
+
+    sem_i = {1: 0.0, 2: 0.0, 3: 0.0}
+    sem_u = {1: 0.0, 2: 0.0, 3: 0.0}
+    best_ious, scores, n_gt, n_det = [], [], 0, 0
+    for _ in range(n_scenes):
+        img, gboxes, gclasses, gvalid, _, sem = data._scene()
+        frame = Frame(rgb=img, depth=depth)
+        _, dets = eng.process(frame)
+        _, dets_sem = eng_sem.process(frame)
+        pred_map = np.asarray(dets_sem.class_map)
+        for c in sem_i:
+            gt = sem == c
+            pc = pred_map == c
+            sem_i[c] += float((gt & pc).sum())
+            sem_u[c] += float((gt | pc).sum())
+        valid = np.asarray(dets.valid)
+        boxes = np.asarray(dets.boxes)[valid]
+        classes = np.asarray(dets.classes)[valid]
+        scores.extend(np.asarray(dets.scores)[valid].tolist())
+        n_det += int(valid.sum())
+        for gb, gc, gv in zip(gboxes, gclasses, gvalid):
+            if not gv:
+                continue
+            n_gt += 1
+            same = classes == gc
+            if same.any():
+                best_ious.append(max(box_iou(gb, b) for b in boxes[same]))
+
+    return {
+        "checkpoint": ckpt,
+        "n_scenes": n_scenes,
+        "sem_iou": {
+            c: round(sem_i[c] / sem_u[c], 4) if sem_u[c] else None for c in sem_i
+        },
+        "det_best_box_iou_mean": round(float(np.mean(best_ious)), 4) if best_ious else 0.0,
+        "det_recall_iou30": round(
+            float(np.mean([i > 0.3 for i in best_ious])), 4
+        ) if best_ious else 0.0,
+        "det_recall_iou50": round(
+            float(np.mean([i > 0.5 for i in best_ious])), 4
+        ) if best_ious else 0.0,
+        "mean_score": round(float(np.mean(scores)), 4) if scores else 0.0,
+        "detections_per_gt": round(n_det / max(n_gt, 1), 3),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--scenes", type=int, default=16)
+    p.add_argument("--seed", type=int, default=9999)
+    args = p.parse_args(argv)
+    print(json.dumps(evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,61 @@
+"""Benchmark/evaluator plumbing tests (the heavy runs are CLI-only; these pin
+the registry contract and the pure helpers)."""
+
+import numpy as np
+import pytest
+
+from tod_tpu.bench import CONFIGS
+from tod_tpu.train.evaluate import box_iou
+
+
+class TestBenchRegistry:
+    def test_five_configs_registered(self):
+        assert sorted(CONFIGS) == [1, 2, 3, 4, 5]
+        for fn in CONFIGS.values():
+            assert callable(fn) and fn.__doc__
+
+    def test_cli_rejects_bad_config(self):
+        from tod_tpu.bench.__main__ import main
+
+        with pytest.raises(SystemExit):
+            main(["--config", "9"])
+
+
+class TestBoxIoU:
+    def test_identity(self):
+        assert box_iou([0, 0, 1, 1], [0, 0, 1, 1]) == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        assert box_iou([0, 0, 0.4, 0.4], [0.5, 0.5, 1, 1]) == 0.0
+
+    def test_half_overlap(self):
+        # [0,0,1,2] vs [0,1,1,2]: inter 1, union 2
+        assert box_iou([0, 0, 1, 2], [0, 1, 1, 2]) == pytest.approx(0.5)
+
+    def test_degenerate_box(self):
+        assert box_iou([0, 0, 0, 0], [0, 0, 1, 1]) == 0.0
+
+
+class TestEvaluatorFastPath:
+    def test_evaluate_tiny_runs(self, tmp_path):
+        # end-to-end evaluator on a tiny model + fresh checkpoint: exercises
+        # checkpoint IO, both engine modes, and the metric aggregation
+        import dataclasses
+
+        from tod_tpu.core.config import ModelConfig, TrainConfig
+        from tod_tpu.train import Trainer
+        from tod_tpu.train.evaluate import evaluate
+
+        hw = (48, 64)
+        mcfg = dataclasses.replace(
+            ModelConfig(input_size=hw),
+            fpn_channels=16, proto_channels=16, head_channels=16,
+            width_mult=0.35, num_prototypes=8, nms_top_k=8, max_detections=4,
+        )
+        trainer = Trainer(mcfg, TrainConfig(batch_size=1, total_steps=1))
+        ckpt = tmp_path / "ck"
+        trainer.save(str(ckpt))
+        out = evaluate(str(ckpt), n_scenes=1, seed=5, hw=hw, mcfg=mcfg)
+        assert set(out["sem_iou"]) == {1, 2, 3}
+        assert 0 <= out["detections_per_gt"]
+        assert 0.0 <= out["det_recall_iou50"] <= 1.0

@@ -27,7 +27,9 @@ def box_iou(a, b) -> float:
     return float(inter / union) if union > 0 else 0.0
 
 
-def evaluate(ckpt: str, n_scenes: int = 16, seed: int = 9999, hw=(240, 320)) -> dict:
+def evaluate(
+    ckpt: str, n_scenes: int = 16, seed: int = 9999, hw=(240, 320), mcfg=None
+) -> dict:
     import numpy as np
 
     from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig
@@ -38,7 +40,7 @@ def evaluate(ckpt: str, n_scenes: int = 16, seed: int = 9999, hw=(240, 320)) -> 
 
     params = load_checkpoint(ckpt)
     cam = CameraConfig(width=hw[1], height=hw[0])
-    cfg = PipelineConfig(camera=cam, model=ModelConfig(input_size=hw))
+    cfg = PipelineConfig(camera=cam, model=mcfg or ModelConfig(input_size=hw))
     # two pipeline modes: the semantic head drives sem_iou (the reference's
     # observable output), the detection head drives the box metrics
     eng = Engine(cfg, params=params, mode="detect", use_pallas=False)

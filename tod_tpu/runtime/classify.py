@@ -56,6 +56,10 @@ class Classifier:
             params = jax.jit(lambda k: self.model.init(k, x0, train=False))(
                 jax.random.PRNGKey(seed)
             )
+        else:
+            # restored checkpoints are host numpy trees; pin them to the
+            # device once or every classify() re-uploads the full model
+            params = jax.device_put(params)
         self.params = params
         cam_hw = (self.cfg.camera.height, self.cfg.camera.width)
         model = self.model

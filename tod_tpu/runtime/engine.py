@@ -70,6 +70,12 @@ class Engine:
             params = jax.jit(lambda k: self.model.init(k, x0, train=False))(
                 jax.random.PRNGKey(seed)
             )
+        else:
+            # checkpoints restore as HOST numpy arrays — without an explicit
+            # device_put every jitted frame step would re-upload the full
+            # parameter tree through the transport (~15 MB ≈ hundreds of ms
+            # per frame on the remote tunnel)
+            params = jax.device_put(params)
         self.params = params
         self.timer = StageTimer()
         self.fps = FPSMeter()

@@ -136,8 +136,12 @@ class Trainer:
         from tod_tpu.train.checkpoint import load_checkpoint
 
         restored = load_checkpoint(path)
+        # device_put once: orbax restores host numpy, which would otherwise be
+        # re-uploaded by every subsequent train step
         self.state = dataclasses.replace(
-            self.state, params=restored["params"], batch_stats=restored["batch_stats"]
+            self.state,
+            params=jax.device_put(restored["params"]),
+            batch_stats=jax.device_put(restored["batch_stats"]),
         )
 
     def inference_variables(self) -> dict:

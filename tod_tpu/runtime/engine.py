@@ -123,7 +123,11 @@ class Engine:
         # unused connection/pos materializations out of the serving graph.
         def _serve_step(p, rgb, depth):
             scene, _ = _step(p, rgb, depth)
-            return scene.height, scene.balls
+            # f16 halves the height readback bytes — the dominant cost of the
+            # planner stage on remote transports (~55 ms for f32 QVGA vs
+            # ~10 ms of actual Dijkstra).  Heights are O(100) with unit-scale
+            # structure, so f16's ~0.05 absolute error there is planner-noise.
+            return scene.height.astype(jnp.float16), scene.balls
 
         self._serve_step = jax.jit(_serve_step)
 

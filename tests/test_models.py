@@ -117,6 +117,28 @@ class TestMaskKernel:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+class TestAnchorLayout:
+    def test_anchor_order_is_position_major_ratio_innermost(self):
+        """Lock the anchor memory layout to the head's (H, W, A·4) →
+        (H·W·A, 4) reshape: anchor index (y*fw+x)*A + j must sit at cell
+        (y, x), for every pyramid level and every ratio."""
+        from tod_tpu.ops.anchors import feature_shapes, generate_anchors
+
+        cfg = TINY
+        anchors = np.asarray(generate_anchors(cfg))
+        A = cfg.num_anchors
+        base = 0
+        for fh, fw in feature_shapes(cfg.input_size, cfg.strides):
+            pts = {(0, 0), (fh - 1, fw - 1), (fh // 2, fw // 2), (min(1, fh - 1), min(2, fw - 1))}
+            for y, x in pts:
+                for j in range(A):
+                    cy, cx = anchors[base + (y * fw + x) * A + j, :2]
+                    assert abs(cy - (y + 0.5) / fh) < 1e-6, (fh, fw, y, x, j, cy)
+                    assert abs(cx - (x + 0.5) / fw) < 1e-6, (fh, fw, y, x, j, cx)
+            base += fh * fw * A
+        assert base == anchors.shape[0]
+
+
 class TestDetectInstanceIds:
     def test_two_balls_get_distinct_slot_ids(self):
         """Craft two confident, well-separated ball detections and check the

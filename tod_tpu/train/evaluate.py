@@ -74,8 +74,11 @@ def evaluate(
                 continue
             n_gt += 1
             same = classes == gc
-            if same.any():
-                best_ious.append(max(box_iou(gb, b) for b in boxes[same]))
+            # GT objects with no same-class detection count as IoU 0 so the
+            # recall metrics are over ALL ground truth, not just matched GT.
+            best_ious.append(
+                max(box_iou(gb, b) for b in boxes[same]) if same.any() else 0.0
+            )
 
     return {
         "checkpoint": ckpt,

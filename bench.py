@@ -4,6 +4,11 @@ Runs the full pipeline — frame → fused preprocess+YOLACT+Fast-NMS+masks+
 geometry-fusion device graph → scene readback → native Dijkstra planner — on
 the available accelerator and prints ONE JSON line.
 
+Weights are the pinned trained checkpoint when present (production serving
+behavior; random-init runs hide loaded-state costs like host-resident param
+trees).  Also reports model FLOPs utilization (MFU): achieved FLOPs/s of the
+serving step over the chip's peak, from XLA's own cost analysis.
+
 Baseline: the reference's implied full-frame classify rate on its own hardware
 (Coral USB Edge TPU + Pi 4) is <7 FPS — two sequential ~50-86 ms tile invokes
 plus CPU resize/pack per frame (BASELINE.md; out.log:429-430).  vs_baseline is
@@ -13,13 +18,53 @@ our end-to-end FPS over that 7 FPS bar.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import time
 
 BASELINE_FPS = 7.0  # reference full-frame rate, BASELINE.md "Implied full-frame classify"
+
+# bf16 peak FLOPs/s by TPU generation (public cloud.google.com/tpu/docs specs)
+_PEAK_FLOPS = {
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5": 197e12,  # v5e / "v5 lite"
+    "v4": 275e12,
+}
+
+
+def _peak_flops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for key, peak in _PEAK_FLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def _step_flops(engine, packed_d) -> float | None:
+    """XLA cost analysis of the jitted serving step (flops per frame)."""
+    try:
+        compiled = engine._serve_step_packed.lower(engine.params, packed_d).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: kills the ~3 min recompile on every run
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import numpy as np
 
     from tod_tpu.core.config import (
         CameraConfig,
@@ -38,7 +83,16 @@ def main() -> None:
     )
     n_frames = 200 if on_tpu else 5
 
-    engine = Engine(cfg, mode="detect", use_pallas=on_tpu)
+    # production weights: the pinned trained checkpoint (random init hides
+    # loaded-state effects — e.g. host-numpy param trees re-uploading per step)
+    params, weights = None, "random"
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "yolact_synth")
+    if os.path.isdir(ckpt):
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        params, weights = load_checkpoint(ckpt), "checkpoints/yolact_synth"
+
+    engine = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
     compile_s = engine.warmup()
     # two measured runs, keep the better: remote TPU transports hiccup for
     # seconds at a time, which would misattribute a stall to the pipeline
@@ -49,17 +103,43 @@ def main() -> None:
     metrics = max(runs, key=lambda m: m["fps"])
     metrics["compile_s"] = compile_s
 
+    # pure device throughput + MFU: K back-to-back steps on a device-resident
+    # input, one sync — upload/readback excluded, so this is the chip's view
+    packed_d = jax.device_put(np.zeros((cam.height, cam.width, 5), np.uint8))
+    out = engine._serve_step_packed(engine.params, packed_d)
+    jax.block_until_ready(out)
+    k = 50 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(k):
+        out = engine._serve_step_packed(engine.params, packed_d)
+    jax.block_until_ready(out)
+    device_step_ms = (time.perf_counter() - t0) / k * 1e3
+
+    flops = _step_flops(engine, packed_d)
+    peak = _peak_flops(jax.devices()[0].device_kind) if on_tpu else None
+    mfu = (
+        round(flops / (device_step_ms / 1e3) / peak, 4)
+        if flops and peak and device_step_ms > 0
+        else None
+    )
+
     fps = metrics["fps"]
+    lat = engine.timer.stats("latency")  # true dispatch→ready order statistics
     frame_stats = engine.timer.stats("frame")
     result = {
         "metric": "fps_e2e_320x240_b1",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "p50_frame_ms": frame_stats.get("p50_ms"),
+        "p50_frame_ms": lat.get("p50_ms", frame_stats.get("p50_ms")),
+        "p90_frame_ms": lat.get("p90_ms"),
         "plan_p50_ms": engine.timer.stats("plan").get("p50_ms"),
+        "device_step_ms": round(device_step_ms, 3),
+        "mfu": mfu,
+        "step_gflops": round(flops / 1e9, 2) if flops else None,
         "compile_s": round(metrics["compile_s"], 2),
         "n_frames": metrics["n_frames"],
+        "weights": weights,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

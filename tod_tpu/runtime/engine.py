@@ -117,17 +117,22 @@ class Engine:
         self._step = jax.jit(_step)
 
         # Slim serving step: the streaming loop only ever consumes the height
-        # map + ball slots (planner) — returning just those two buffers keeps
-        # per-step output-buffer overhead minimal (each output array costs a
-        # round trip on remote-transport backends) and lets XLA dead-code the
-        # unused connection/pos materializations out of the serving graph.
+        # map + ball slots (planner).  Both are packed into ONE u8 buffer so
+        # the planner pays a single device→host round trip per plan (on remote
+        # transports each readback costs ~20-55 ms regardless of size — count
+        # round trips, not bytes), and XLA dead-codes the unused
+        # connection/pos materializations out of the serving graph.
         def _serve_step(p, rgb, depth):
             scene, _ = _step(p, rgb, depth)
-            # f16 halves the height readback bytes — the dominant cost of the
-            # planner stage on remote transports (~55 ms for f32 QVGA vs
-            # ~10 ms of actual Dijkstra).  Heights are O(100) with unit-scale
+            # f16 halves the height bytes — heights are O(100) with unit-scale
             # structure, so f16's ~0.05 absolute error there is planner-noise.
-            return scene.height.astype(jnp.float16), scene.balls
+            hb = jax.lax.bitcast_convert_type(
+                scene.height.astype(jnp.float16), jnp.uint8
+            ).reshape(-1)
+            bb = jax.lax.bitcast_convert_type(
+                scene.balls.astype(jnp.float32), jnp.uint8
+            ).reshape(-1)
+            return jnp.concatenate([hb, bb])
 
         self._serve_step = jax.jit(_serve_step)
 
@@ -142,6 +147,14 @@ class Engine:
 
         self._serve_step_packed = jax.jit(_serve_step_packed)
 
+    def _unpack_plan_buffer(self, buf: np.ndarray):
+        """Host-side inverse of the serving step's output packing."""
+        h, w = self.cfg.camera.height, self.cfg.camera.width
+        n = h * w * 2
+        height = buf[:n].view(np.float16).reshape(h, w)
+        balls = buf[n:].view(np.float32).reshape(-1, 4)
+        return height, balls
+
     def warmup(self) -> float:
         """Compile the graph on a dummy frame; returns compile seconds."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
@@ -150,11 +163,11 @@ class Engine:
         t0 = time.perf_counter()
         scene, dets = self._step(self.params, rgb, depth)
         jax.block_until_ready(scene.height)
-        hh, bb = self._serve_step(self.params, rgb, depth)
-        jax.block_until_ready(hh)
+        out = self._serve_step(self.params, rgb, depth)
+        jax.block_until_ready(out)
         packed = jnp.zeros((h, w, 5), jnp.uint8)
-        hh, bb = self._serve_step_packed(self.params, packed)
-        jax.block_until_ready(hh)
+        out = self._serve_step_packed(self.params, packed)
+        jax.block_until_ready(out)
         return time.perf_counter() - t0
 
     def process(self, frame: Frame) -> tuple[Scene, Detections]:
@@ -195,8 +208,9 @@ class Engine:
             watchdog.heartbeat()  # don't count jit compile as a stall
         planner = _PlannerWorker(self, path_store) if plan_paths else None
         uploader = _UploadWorker(source, n_frames)
+        sampler = _LatencySampler(self.timer)
         n_done = 0
-        height_d = None
+        out_d = None
         t_batch = time.perf_counter()
         batch_n = 0
         t_start = time.perf_counter()
@@ -204,13 +218,23 @@ class Engine:
             item = uploader.next()
             if item is None:
                 break
-            height_d, balls_d = self._serve_step_packed(self.params, item)
+            t_dispatch = time.perf_counter()
+            out_d = self._serve_step_packed(self.params, item)
+            # start the device→host copy NOW, overlapped with subsequent frames'
+            # compute — by the time the planner thread calls np.asarray the
+            # bytes are usually already on host, so the measured plan stage is
+            # ~pure Dijkstra instead of Dijkstra + a transport round trip
+            try:
+                out_d.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
             if planner is not None:
-                planner.submit((height_d, balls_d))
+                planner.submit(out_d)
+            sampler.submit(out_d, t_dispatch)
             n_done += 1
             batch_n += 1
             if batch_n >= sync_every:
-                jax.block_until_ready(height_d)
+                jax.block_until_ready(out_d)
                 now = time.perf_counter()
                 per_frame = (now - t_batch) / batch_n
                 for _ in range(batch_n):
@@ -220,19 +244,24 @@ class Engine:
                     watchdog.heartbeat()
                 t_batch = now
                 batch_n = 0
-        if height_d is not None and batch_n:
-            jax.block_until_ready(height_d)
+        if out_d is not None and batch_n:
+            jax.block_until_ready(out_d)
             per_frame = (time.perf_counter() - t_batch) / batch_n
             for _ in range(batch_n):
                 self.timer.record("frame", per_frame)
                 self.fps.tick()
-        uploader.close()
-        last_path = planner.finish() if planner is not None else None
+        # streaming rate = frame loop only; the planner's final drain (below)
+        # is reported separately so fps isn't under-counted by its tail
         wall = time.perf_counter() - t_start
+        uploader.close()
+        sampler.finish()
+        t_drain = time.perf_counter()
+        last_path = planner.finish() if planner is not None else None
         return {
             "n_frames": n_done,
             "wall_s": wall,
             "fps": n_done / wall if wall > 0 else 0.0,
+            "plan_drain_s": time.perf_counter() - t_drain,
             "compile_s": compile_s,
             "stages": self.timer.summary(),
             "plans_done": planner.n_planned if planner is not None else 0,
@@ -308,9 +337,9 @@ class _PlannerWorker:
         self._thread = threading.Thread(target=self._loop, daemon=True, name="tod-planner")
         self._thread.start()
 
-    def submit(self, height_balls) -> None:
+    def submit(self, packed_out) -> None:
         with self._cv:
-            self._slot = height_balls  # overwrite: plan the freshest scene only
+            self._slot = packed_out  # overwrite: plan the freshest scene only
             self._cv.notify()
 
     def _loop(self) -> None:
@@ -322,11 +351,12 @@ class _PlannerWorker:
                     self._cv.wait()
                 if self._slot is None and self._stop:
                     return
-                height_d, balls_d = self._slot
+                out_d = self._slot
                 self._slot = None
             with self.engine.timer.stage("plan"):
-                height = np.asarray(height_d)  # device→host readback
-                balls = np.asarray(balls_d)
+                # single readback (usually already prefetched to host by
+                # copy_to_host_async at dispatch time)
+                height, balls = self.engine._unpack_plan_buffer(np.asarray(out_d))
                 path = plan_from_height(height, balls, self.engine.cfg.planner)
             self.n_planned += 1
             self.last_path = path
@@ -348,6 +378,53 @@ class _PlannerWorker:
             self._cv.notify()
         self._thread.join(timeout=10)
         return self.last_path
+
+
+class _LatencySampler:
+    """True per-frame dispatch→ready latency, sampled.
+
+    The streaming loop syncs only every ``sync_every`` frames, so its "frame"
+    stage is a batch mean.  This thread block_until_ready's *individual*
+    dispatched outputs (drop-old slot: it samples as many frames as transport
+    round trips allow without ever stalling the main loop) and records real
+    order statistics under the "latency" stage — dispatch-queue delay included.
+    """
+
+    def __init__(self, timer: StageTimer):
+        import threading
+
+        self.timer = timer
+        self._slot = None
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="tod-latency")
+        self._thread.start()
+
+    def submit(self, arr, t_dispatch: float) -> None:
+        with self._cv:
+            self._slot = (arr, t_dispatch)
+            self._cv.notify()
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while self._slot is None and not self._stop:
+                    self._cv.wait()
+                if self._slot is None and self._stop:
+                    return
+                arr, t0 = self._slot
+                self._slot = None
+            try:
+                jax.block_until_ready(arr)
+            except Exception:
+                continue
+            self.timer.record("latency", time.perf_counter() - t0)
+
+    def finish(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
 
 
 def _empty_detections(mcfg, cam_hw, cls_map, ids) -> Detections:

@@ -203,12 +203,47 @@ def config5_streaming_e2e() -> dict:
     }
 
 
+def config6_streaming_e2e_vga() -> dict:
+    """Config 6: streaming end-to-end at the reference's NATIVE resolution —
+    640×480 (src/scene.rs:36-37).  Same pipeline as config 5, VGA frames."""
+    import jax
+
+    from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig, PlannerConfig
+    from tod_tpu.runtime import Engine, SyntheticSource
+
+    cam = CameraConfig(width=640, height=480)
+    cfg = PipelineConfig(
+        camera=cam,
+        model=ModelConfig(input_size=(480, 640)),
+        planner=PlannerConfig(backend="auto"),
+    )
+    on_tpu = _on_tpu()
+    eng = Engine(cfg, params=_pinned_params(), mode="detect", use_pallas=on_tpu)
+    eng.warmup()
+    n_frames = 150 if on_tpu else 3
+    source = SyntheticSource(cam, seed=0, n_frames=n_frames)
+    metrics = eng.run(source, path_store=None, plan_paths=True, warmup=False)
+    fps = metrics["fps"]
+    return {
+        "metric": "fps_e2e_640x480_b1",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_FRAME_FPS, 3),
+        "p50_frame_ms": eng.timer.stats("latency").get(
+            "p50_ms", eng.timer.stats("frame").get("p50_ms")
+        ),
+        "plan_p50_ms": eng.timer.stats("plan").get("p50_ms"),
+        "backend": jax.default_backend(),
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
     3: config3_full_graph_batch1,
     4: config4_rgbd_fusion_batch8,
     5: config5_streaming_e2e,
+    6: config6_streaming_e2e_vga,
 }
 
 

@@ -1,0 +1,145 @@
+"""tflite → params importer (SURVEY.md §7 "weight loading").
+
+The reference shipped its weights as tflite flatbuffers
+(data/FRC_model.tflite / FRC_model_edgetpu.tflite, 141 ops per
+data/FRC_model_edgetpu.log:5-20 — CONV_2D×64, DEPTHWISE_CONV_2D×15, …), but
+both blobs are stripped from the mount (/root/reference/.MISSING_LARGE_BLOBS).
+This module makes parity-vs-original push-button if they ever appear: it walks
+a tflite file's conv-type ops in graph order, dequantizes their weights
+(scale·(x − zero_point), the same affine dequant the reference applied to its
+outputs at src/yolact.rs:172-177), and maps them onto a Flax param tree by
+traversal order + shape.
+
+Uses tf.lite.Interpreter for flatbuffer parsing (no hand-rolled schema); TF is
+imported lazily so the serving path never pays for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+# tflite builtin operator codes for ops that carry conv weights
+_CONV_2D = 3
+_DEPTHWISE_CONV_2D = 4
+_FULLY_CONNECTED = 9
+
+
+@dataclasses.dataclass
+class ConvWeights:
+    """One conv-type op's dequantized parameters, in graph (execution) order."""
+
+    op_index: int
+    op_name: str  # "CONV_2D" | "DEPTHWISE_CONV_2D" | "FULLY_CONNECTED"
+    kernel: np.ndarray  # HWIO float32 (tflite OHWI / depthwise 1HWO transposed)
+    bias: np.ndarray | None  # (O,) float32, None if the op has no bias input
+
+
+def _dequant(arr: np.ndarray, quant: dict) -> np.ndarray:
+    """Affine dequantize (src/yolact.rs:172-177's scale·(x−zero_point))."""
+    scales = np.asarray(quant.get("scales", ()))
+    if arr.dtype in (np.float32, np.float64) or scales.size == 0:
+        return np.asarray(arr, np.float32)
+    zero_points = np.asarray(quant.get("zero_points", np.zeros_like(scales)))
+    axis = int(quant.get("quantized_dimension", 0))
+    shape = [1] * arr.ndim
+    if scales.size > 1:
+        shape[axis] = scales.size
+    return (arr.astype(np.float32) - zero_points.reshape(shape)) * scales.reshape(shape)
+
+
+def read_conv_weights(path: str) -> list[ConvWeights]:
+    """Extract every conv-type op's weights from a tflite file, graph order."""
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=str(path))
+    details = {d["index"]: d for d in interp.get_tensor_details()}
+    out: list[ConvWeights] = []
+    for i, op in enumerate(interp._get_ops_details()):  # stable across TF2.x
+        name = op["op_name"]
+        if name not in ("CONV_2D", "DEPTHWISE_CONV_2D", "FULLY_CONNECTED"):
+            continue
+        inputs = [t for t in op["inputs"] if t >= 0]
+        if len(inputs) < 2:
+            continue
+        kd = details[inputs[1]]
+        kernel = _dequant(interp.get_tensor(kd["index"]), kd["quantization_parameters"])
+        bias = None
+        if len(inputs) >= 3:
+            bd = details[inputs[2]]
+            bias = _dequant(interp.get_tensor(bd["index"]), bd["quantization_parameters"])
+        if name == "CONV_2D":
+            kernel = np.transpose(kernel, (1, 2, 3, 0))  # OHWI → HWIO
+        elif name == "DEPTHWISE_CONV_2D":
+            # tflite depthwise kernels are (1, H, W, I·mult); Flax feature_group
+            # convs want HWIO with O = mult (HW I O after the transpose chain)
+            _, h, w, c = kernel.shape
+            kernel = kernel.reshape(h, w, c, 1)
+        else:  # FULLY_CONNECTED (O, I) → (I, O)
+            kernel = kernel.T
+        out.append(ConvWeights(op_index=i, op_name=name, kernel=kernel, bias=bias))
+    return out
+
+
+def _flatten_conv_params(params: Any, prefix: str = "") -> list[tuple[str, dict]]:
+    """Depth-first list of ``{'kernel': ..., ('bias': ...)}`` conv param dicts."""
+    found: list[tuple[str, dict]] = []
+    if isinstance(params, dict):
+        if "kernel" in params and hasattr(params["kernel"], "shape"):
+            found.append((prefix.rstrip("/"), params))
+            return found
+        for k in params:  # flax FrozenDict preserves insertion = definition order
+            found.extend(_flatten_conv_params(params[k], f"{prefix}{k}/"))
+    return found
+
+
+def map_convs_to_params(convs: list[ConvWeights], params: Any) -> tuple[Any, dict]:
+    """Assign imported conv weights onto a param tree by order + exact shape.
+
+    Greedy in-order matching: each imported conv claims the first remaining
+    param conv whose kernel shape matches exactly.  Returns (new_params,
+    report) where report lists mapped/unmapped entries — architecture drift
+    shows up as unmapped ops, not silent corruption.
+    """
+    # NOTE: not jax.tree_map — jax pytree flattening SORTS dict keys, which
+    # would scramble definition order (e.g. "block_10" < "block_2"); the
+    # greedy order-matching below depends on module definition order.
+    def _copy(t):
+        if isinstance(t, dict) or hasattr(t, "items"):
+            return {k: _copy(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    params = _copy(params)
+    slots = _flatten_conv_params(params)
+    taken = [False] * len(slots)
+    mapped, unmapped = [], []
+    cursor = 0
+    for cw in convs:
+        hit = None
+        for j in range(cursor, len(slots)):
+            if not taken[j] and slots[j][1]["kernel"].shape == cw.kernel.shape:
+                hit = j
+                break
+        if hit is None:
+            unmapped.append(f"{cw.op_name}@{cw.op_index} kernel{cw.kernel.shape}")
+            continue
+        name, slot = slots[hit]
+        slot["kernel"] = cw.kernel.astype(slot["kernel"].dtype)
+        if cw.bias is not None and "bias" in slot and slot["bias"].shape == cw.bias.shape:
+            slot["bias"] = cw.bias.astype(slot["bias"].dtype)
+        taken[hit] = True
+        cursor = hit + 1  # preserve graph order: later ops map to later convs
+        mapped.append(f"{cw.op_name}@{cw.op_index} → {name}")
+    report = {
+        "mapped": mapped,
+        "unmapped_ops": unmapped,
+        "unfilled_params": [slots[j][0] for j in range(len(slots)) if not taken[j]],
+    }
+    return params, report
+
+
+def import_tflite(path: str, params: Any) -> tuple[Any, dict]:
+    """Full pipeline: read conv weights from ``path`` and map onto ``params``."""
+    return map_convs_to_params(read_conv_weights(path), params)

@@ -90,3 +90,27 @@ class TestStripBumpKernel:
 
         with pytest.raises(ValueError):
             dilate_peaks_strips(jnp.zeros((36, 44)), 2, 0.1, (30, 40), strip_h=8)
+
+
+class TestBumpStripsOnHardware:
+    def test_strips_exact_on_tpu(self):
+        """Hardware gate for the roll-based strip kernel: compile and run on
+        the real chip, bit-exact vs the jnp oracle (skipped off-TPU — the
+        interpret-mode equivalents above cover CPU)."""
+        import jax
+
+        if jax.default_backend() != "tpu":
+            pytest.skip("needs a real TPU")
+        from tod_tpu.kernels.bump import dilate_peaks_strips
+
+        rng = np.random.default_rng(0)
+        h, w, L = 240, 320, 10
+        ext = np.zeros((h + 2 * L, w + 2 * L), np.float32)
+        iy = rng.integers(0, h + 2 * L, 3000)
+        ix = rng.integers(0, w + 2 * L, 3000)
+        ext[iy, ix] = rng.uniform(1, 100, 3000)
+        got = np.asarray(
+            dilate_peaks_strips(jnp.asarray(ext), L, 0.1, (h, w), strip_h=16, interpret=False)
+        )
+        want = np.asarray(_dilate_peaks(jnp.asarray(ext), L, 0.1, (h, w)))
+        np.testing.assert_array_equal(got, want)

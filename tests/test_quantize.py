@@ -72,3 +72,80 @@ class TestModelQuant:
         a, b = np.asarray(out_f.sem_logits), np.asarray(out_q.sem_logits)
         denom = max(np.abs(a).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 0.15
+
+
+class TestConv8:
+    """Int8 end-to-end inference path (models/qconv.py) — the TPU-native
+    counterpart of the reference's u8 tflite graph (src/yolact.rs:172-177)."""
+
+    def test_param_tree_matches_float_conv(self):
+        """Conv8 and nn.Conv must create identical param trees so float
+        checkpoints load into the quantized graph unchanged."""
+        import dataclasses
+
+        from tod_tpu.core.config import ModelConfig
+        from tod_tpu.models.yolact import create_model
+
+        tiny = ModelConfig(
+            input_size=(64, 64), fpn_channels=16, proto_channels=16,
+            head_channels=16, width_mult=0.25, num_prototypes=8, num_classes=8,
+        )
+        mf, _ = create_model(tiny)
+        mq, _ = create_model(dataclasses.replace(tiny, quantized=True))
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        vf = jax.jit(lambda k: mf.init(k, x))(jax.random.PRNGKey(0))
+        vq = jax.jit(lambda k: mq.init(k, x))(jax.random.PRNGKey(0))
+        assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vq)
+        for (kf, lf), (kq, lq) in zip(
+            jax.tree_util.tree_leaves_with_path(vf),
+            jax.tree_util.tree_leaves_with_path(vq),
+        ):
+            assert kf == kq and lf.shape == lq.shape
+
+    def test_conv8_close_to_float_conv(self):
+        """Single layer: int8 output within the per-tensor quantization error
+        band of the float conv (symmetric 8-bit ⇒ ~1% of the activation range
+        per operand)."""
+        import flax.linen as nn
+
+        from tod_tpu.models.qconv import Conv8
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 24, 8)).astype(np.float32))
+        kw = dict(features=16, kernel_size=(3, 3), padding="SAME", dtype=jnp.float32)
+        vf = nn.Conv(**kw).init(jax.random.PRNGKey(0), x)
+        yf = np.asarray(nn.Conv(**kw).apply(vf, x))
+        yq = np.asarray(Conv8(**kw).apply(vf, x))
+        scale = np.abs(yf).max()
+        assert np.abs(yq - yf).max() / scale < 0.05
+
+    def test_native_matches_float_sim(self):
+        """The int8-accumulating path and the float-simulated path run the
+        same quantized integers; on CPU both trace to the float conv, on TPU
+        the native path must agree to accumulation rounding."""
+        from tod_tpu.models.qconv import Conv8
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32))
+        kw = dict(features=8, kernel_size=(3, 3), dtype=jnp.float32)
+        v = Conv8(**kw, native_int8=False).init(jax.random.PRNGKey(0), x)
+        y_sim = np.asarray(Conv8(**kw, native_int8=False).apply(v, x))
+        try:
+            y_nat = np.asarray(Conv8(**kw, native_int8=True).apply(v, x))
+        except Exception:
+            pytest.skip("backend cannot lower s8 conv (expected off-TPU)")
+        np.testing.assert_allclose(y_nat, y_sim, rtol=1e-5, atol=1e-5)
+
+    def test_depthwise_and_strides(self):
+        from tod_tpu.models.qconv import Conv8
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 8)).astype(np.float32))
+        m = Conv8(
+            features=8, kernel_size=(3, 3), strides=2, feature_group_count=8,
+            use_bias=False, dtype=jnp.float32, native_int8=False,
+        )
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        assert y.shape == (1, 8, 8, 8)
+        assert v["params"]["kernel"].shape == (3, 3, 1, 8)

@@ -57,8 +57,19 @@ class ModelConfig:
     head_channels: int = 128
     anchor_aspect_ratios: tuple[float, ...] = (1.0, 0.5, 2.0)
     anchor_scales: tuple[float, ...] = (24.0, 48.0, 96.0, 192.0, 384.0)
+    # Sub-octave scale multipliers per level (RetinaNet-style).  With 2×
+    # geometric steps between levels, a single scale per level caps the best
+    # achievable anchor↔gt IoU at (s/(s·2^½))² ≈ 0.5 for objects midway
+    # between levels — almost nothing clears the matcher's 0.5 positive bar.
+    # Three sub-octaves bound the size mismatch at 2^⅙ (worst-case IoU ≈ 0.79).
+    anchor_scale_mults: tuple[float, ...] = (1.0, 2 ** (1 / 3), 2 ** (2 / 3))
     width_mult: float = 1.0  # MobileNetV2 width multiplier
     dtype: str = "bfloat16"  # compute dtype for conv stack (MXU-friendly)
+    # Int8 end-to-end inference (models/qconv.py): s8 weights (per channel) ×
+    # s8 activations (per tensor, dynamic) → s32 MXU accumulation — the
+    # TPU-native parity mode for the reference's u8 tflite graph
+    # (src/yolact.rs:172-177).  Loads the same float checkpoints.
+    quantized: bool = False
     # Detection post-processing
     max_detections: int = 32
     score_threshold: float = 0.05
@@ -68,7 +79,7 @@ class ModelConfig:
 
     @property
     def num_anchors(self) -> int:
-        return len(self.anchor_aspect_ratios)
+        return len(self.anchor_aspect_ratios) * len(self.anchor_scale_mults)
 
     @property
     def strides(self) -> tuple[int, ...]:

@@ -184,16 +184,22 @@ def occupancy_map(
         jnp.full((h, w), geom.bot_avoidance_const, jnp.float32),
         pad_b,
     )
-    # Terrain (variable peak values): XLA-fused shifted-max loop — (2L)²
-    # passes (400 at the reference's L=10; ~1 ms at VGA, a few % of a 30 FPS
-    # frame budget; no separable form exists for variable peaks).
+    # Terrain (variable peak values): (2L)² displacement passes (400 at the
+    # reference's L=10) — as the strip-tiled Pallas kernel (kernels/bump.py,
+    # hardware-validated bit-exact vs this file's jnp loop) when
+    # ``use_pallas`` and the height divides the strip, else the XLA-fused
+    # shifted-max loop.
     # Robots (constant peak value, L=20): the separable min-distance² closed
     # form — an algorithmic 1600→80-pass win that beats any displacement-loop
-    # kernel (and VMEM liveness rules out unrolled Pallas variants at VGA —
-    # see kernels/bump.py).  Both paths are exact vs the per-source oracle;
-    # ``use_pallas`` therefore doesn't change the bump computation (it still
-    # selects the Pallas connections kernel downstream).
-    terrain = _dilate_peaks(terrain_peaks, pad_t, geom.bump_err, (h, w))
+    # kernel.  All paths are exact vs the per-source oracle.
+    if use_pallas and h % 16 == 0:
+        from tod_tpu.kernels.bump import dilate_peaks_strips
+
+        terrain = dilate_peaks_strips(
+            terrain_peaks, pad_t, geom.bump_err, (h, w), strip_h=16
+        )
+    else:
+        terrain = _dilate_peaks(terrain_peaks, pad_t, geom.bump_err, (h, w))
     robots = _dilate_const_separable(
         robot_peaks, pad_b, geom.bot_avoidance_const, geom.bump_err, (h, w)
     )

@@ -11,19 +11,16 @@ HBM round trip per displacement — for the robot radius (L=20 → 1600
 displacements) that's gigabytes of HBM traffic for ~1 MB of live data.
 
 Mosaic constraints shape the loop structure (found empirically on this
-toolchain): dynamic-offset ref slices crash or fail to lower in BOTH the lane
-and sublane dims, so every displacement offset must be a *static* slice.
-That rules out a 1600-iteration loop for robots; instead:
-
-- **constant peak value** (robots, val=100): handled by the separable
-  closed form in ``geometry.fusion._dilate_const_separable`` (exact; see its
-  docstring) — the in-kernel variant both hits the dynamic-slice limitation
-  and overflows VMEM liveness with 80 unrolled full-height slices.
-- **variable peak value** (terrain, val = source row): fully-unrolled (2L)²
-  static double loop with the vectorized sigmoid, VMEM-resident (this file).
-  Viable for small windows only — the unrolled load chain's VMEM liveness
-  grows as (2L)²·H·W·4B, so at the reference's terrain L=10 on VGA frames the
-  production path uses the XLA-fused loop in geometry.fusion instead.
+toolchain): lane-dim slices of VMEM scratch must be 128-aligned in offset AND
+size, sublane slice sizes 8-aligned, and ``pltpu.roll`` needs an aligned
+width and a non-negative shift (negative dynamic shifts silently corrupt
+rolls wider than two lane tiles).  The production kernel
+(``dilate_peaks_strips``) therefore walks the dx axis with full-width
+circular rolls — never lane slices — and rounds the buffer to the alignment
+grid; it is validated bit-exact against the jnp oracle ON HARDWARE at QVGA
+and VGA.  The constant-peak robot bump stays on the separable closed form in
+``geometry.fusion._dilate_const_separable`` (an algorithmic (2L)²→4L win no
+displacement kernel can match).
 """
 
 from __future__ import annotations
@@ -38,24 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 _FAR = 1e9  # "no source in window" sentinel for min-distance²
 
 
-def _kernel_var_strips(hbm_ref, out_ref, *, strip_h, w, pad, L, bump_err):
-    """Strip-tiled variable-value dilation.
+def _kernel_var_strips(hbm_ref, out_ref, *, strip_h, wp, pad, L, bump_err):
+    """Strip-tiled variable-value dilation, lane-shift via circular roll.
 
     The padded peak map stays in HBM (memory_space=ANY); each grid program
-    DMAs its (strip + 2L halo) rows into VMEM scratch — DMA slicing supports
-    the dynamic (program-id-dependent) row offset that vector-lane slicing
-    doesn't — then runs the (2L)² static displacement loop over the strip.
-    Unrolled-load liveness is bounded by (2L)²·strip_h·W·4B instead of
-    (2L)²·H·W·4B, which is what kept the whole-array variant off VGA frames.
+    DMAs its (strip + 2P halo) full-width rows into VMEM scratch.  The lane
+    (dx) displacement axis is walked with ``pltpu.roll`` on full-width rows —
+    NEVER with lane slices: this toolchain's Mosaic build crashes on any
+    lane-unaligned static slice of DMA'd scratch (bisected round 1; full-width
+    reads + aligned stores compile and run).  Roll wrap-around values land
+    only in the padding columns (|dx| ≤ L ≤ pad), never in the interior the
+    caller extracts, so the circular shift is as good as a true shift.
 
-    Hardware status (this container's remote-compile Mosaic build): validated
-    exact in interpret mode; on the real chip the compile helper crashes on
-    ANY lane-unaligned static slice of a DMA'd scratch buffer (bisected: a
-    bare halo-DMA + interior slice already crashes, while the same structure
-    with aligned (strip, W) scratch and full-width reads compiles and runs
-    correctly).  The production occupancy path therefore stays on the
-    XLA-fused loop (geometry.fusion); this kernel is the intended design for
-    a toolchain where that compiler bug is fixed.
+    The row (dy) axis stays a static 2L-unrolled loop of full-width sublane
+    slices; the dx axis is a ``fori_loop`` with a dynamic roll amount, so code
+    size is O(2L), not O((2L)²), and VMEM liveness is one rolled strip + the
+    accumulator.
     """
     c2 = 2.0 / L
     i = pl.program_id(0)  # read outside run_scoped (no grid ctx inside)
@@ -67,19 +62,27 @@ def _kernel_var_strips(hbm_ref, out_ref, *, strip_h, w, pad, L, bump_err):
         )
         dma.start()
         dma.wait()
-        acc = jnp.zeros((strip_h, w), jnp.float32)
+        acc = jnp.zeros((strip_h, wp), jnp.float32)
         for dy in range(-L, L):
-            for dx in range(-L, L):
-                prox = float((dy * dy + dx * dx) ** 0.5)
-                src = scratch[pl.ds(pad - dy, strip_h), pl.ds(pad - dx, w)]
+            # full-width sublane slice (static offset, aligned lanes)
+            band = scratch[pl.ds(pad - dy, strip_h), :]
+
+            def dx_step(k, a, band=band, dy=dy):
+                dx = k - L
+                # roll requires a non-negative shift (negative dynamic shifts
+                # silently corrupt wide (>2 lane-tile) rolls on hardware)
+                src = pltpu.roll(band, (dx + wp) % wp, axis=1)  # src[c] = band[c-dx]
+                prox = jnp.sqrt(jnp.float32(dy * dy) + (dx * dx).astype(jnp.float32))
                 c1 = jnp.maximum(src / bump_err - 1.0, 1e-6)
                 g = jnp.floor(src / (1.0 + jnp.power(c1, c2 * prox - 1.0)))
-                acc = jnp.maximum(acc, jnp.where(src > 0, g, 0.0))
+                return jnp.maximum(a, jnp.where(src > 0, g, 0.0))
+
+            acc = jax.lax.fori_loop(0, 2 * L, dx_step, acc)
         out_ref[:] = acc
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((strip_h + 2 * pad, w + 2 * pad), jnp.float32),
+        scratch=pltpu.VMEM((strip_h + 2 * pad, wp), jnp.float32),
         sem=pltpu.SemaphoreType.DMA,
     )
 
@@ -100,21 +103,41 @@ def dilate_peaks_strips(
     pad = (peaks_ext.shape[0] - h) // 2
     if h % strip_h:
         raise ValueError(f"H={h} not divisible by strip_h={strip_h}")
+    # Mosaic's lane roll needs a lane-aligned (multiple-of-128) width; round
+    # up with zero columns on the right.  Zero peaks contribute nothing, and
+    # interior columns only ever read cols [pad-L, pad+W+L) — never the
+    # appended zeros or a wrapped lane.
+    wp = peaks_ext.shape[1]
+    wp_aligned = -(-wp // 128) * 128
+    if wp_aligned != wp:
+        peaks_ext = jnp.pad(peaks_ext, ((0, 0), (0, wp_aligned - wp)))
+        wp = wp_aligned
+    # The per-strip DMA copies (strip_h + 2·pad_row) rows; Mosaic requires the
+    # sublane slice size be 8-aligned.  Round the ROW halo up to a multiple of
+    # 4 (so strip_h%8==0 keeps the total aligned); the extra rows are inert —
+    # the kernel's band slices only ever touch rows within ±L of the strip.
+    # Lane padding is untouched: the final interior column slice stays at the
+    # original ``pad``.
+    pad_row = -(-pad // 4) * 4
+    if pad_row != pad:
+        e = pad_row - pad
+        peaks_ext = jnp.pad(peaks_ext, ((e, e), (0, 0)))
     kernel = functools.partial(
-        _kernel_var_strips, strip_h=strip_h, w=w, pad=pad, L=bump_size,
+        _kernel_var_strips, strip_h=strip_h, wp=wp, pad=pad_row, L=bump_size,
         bump_err=bump_err,
     )
     grid = (h // strip_h,)
-    return pl.pallas_call(
+    out_full = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h, wp), jnp.float32),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (strip_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (strip_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(peaks_ext.astype(jnp.float32))
+    return jax.lax.dynamic_slice(out_full, (0, pad), (h, w))
 
 
 def _kernel_var(peaks_ref, out_ref, *, h, w, pad, L, bump_err):

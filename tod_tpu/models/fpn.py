@@ -19,11 +19,14 @@ class FPN(nn.Module):
     channels: int = 128
     levels: int = 5  # P3..P(3+levels-1)
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, c3, c4, c5):
+        from tod_tpu.models.qconv import conv_factory
+
         def conv(k, s=1, name=None):
-            return nn.Conv(
+            return conv_factory(self.quantized)(
                 self.channels, (k, k), strides=s, padding="SAME",
                 dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )

@@ -26,14 +26,16 @@ class PredictionHead(nn.Module):
     num_prototypes: int = 32
     channels: int = 128
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, p):
         """p: (B, H, W, C) one pyramid level → (loc (B,HWA,4), conf (B,HWA,C),
         coeff (B,HWA,K))."""
+        from tod_tpu.models.qconv import conv_factory
 
         def conv(f, name):
-            return nn.Conv(
+            return conv_factory(self.quantized)(
                 f, (3, 3), padding="SAME", dtype=self.dtype,
                 param_dtype=jnp.float32, name=name,
             )
@@ -56,12 +58,15 @@ class PredictionHead(nn.Module):
 class SemanticHead(nn.Module):
     num_classes: int = 81
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, p3):
         """(B, H/8, W/8, C) → per-pixel class logits at stride 8 — the
         28×28×81 map shape for a 224×224 input, matching src/yolact.rs:91."""
-        x = nn.Conv(
+        from tod_tpu.models.qconv import conv_factory
+
+        x = conv_factory(self.quantized)(
             self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
             name="sem_out",
         )(p3)

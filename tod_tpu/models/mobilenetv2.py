@@ -18,6 +18,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from tod_tpu.models.qconv import conv_factory
+
 
 def _make_divisible(v: float, divisor: int = 8) -> int:
     """Round channel counts like the MobileNetV2 paper (multiples of 8 — which
@@ -35,10 +37,13 @@ class ConvBN(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        # explicit name: keeps the param path identical ("Conv_0") whether the
+        # module is nn.Conv or Conv8, so float checkpoints load either way
+        x = conv_factory(self.quantized)(
             self.features,
             (self.kernel, self.kernel),
             strides=self.stride,
@@ -47,6 +52,7 @@ class ConvBN(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            name="Conv_0",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, dtype=jnp.float32
@@ -61,20 +67,25 @@ class InvertedResidual(nn.Module):
     stride: int
     expand: int
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inp = x.shape[-1]
         hidden = inp * self.expand
+        q = self.quantized
         y = x
         if self.expand != 1:
-            y = ConvBN(hidden, kernel=1, dtype=self.dtype)(y, train)
+            y = ConvBN(hidden, kernel=1, dtype=self.dtype, quantized=q)(y, train)
         # depthwise
-        y = ConvBN(hidden, kernel=3, stride=self.stride, groups=hidden, dtype=self.dtype)(
+        y = ConvBN(
+            hidden, kernel=3, stride=self.stride, groups=hidden, dtype=self.dtype,
+            quantized=q,
+        )(y, train)
+        # linear projection
+        y = ConvBN(self.features, kernel=1, act=False, dtype=self.dtype, quantized=q)(
             y, train
         )
-        # linear projection
-        y = ConvBN(self.features, kernel=1, act=False, dtype=self.dtype)(y, train)
         if self.stride == 1 and inp == self.features:
             y = y + x  # the ADD×11 skips in the reference op inventory
         return y
@@ -97,18 +108,21 @@ class MobileNetV2(nn.Module):
 
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(_make_divisible(32 * self.width_mult), stride=2, dtype=self.dtype)(
-            x, train
-        )
+        x = ConvBN(
+            _make_divisible(32 * self.width_mult), stride=2, dtype=self.dtype,
+            quantized=self.quantized,
+        )(x, train)
         taps = {}
         for stage, (t, c, n, s) in enumerate(_MNV2_CFG):
             feats = _make_divisible(c * self.width_mult)
             for i in range(n):
                 x = InvertedResidual(
-                    feats, stride=s if i == 0 else 1, expand=t, dtype=self.dtype
+                    feats, stride=s if i == 0 else 1, expand=t, dtype=self.dtype,
+                    quantized=self.quantized,
                 )(x, train)
             if stage == 2:
                 taps["c3"] = x

@@ -21,11 +21,14 @@ class ProtoNet(nn.Module):
     num_prototypes: int = 32
     channels: int = 128
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, p3):
+        from tod_tpu.models.qconv import conv_factory
+
         def conv(f, k=3, name=None):
-            return nn.Conv(
+            return conv_factory(self.quantized)(
                 f, (k, k), padding="SAME", dtype=self.dtype,
                 param_dtype=jnp.float32, name=name,
             )

@@ -13,16 +13,19 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from tod_tpu.models.qconv import conv_factory
+
 
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def conv(f, k, s, name):
-            return nn.Conv(
+            return conv_factory(self.quantized)(
                 f, (k, k), strides=s, padding="SAME", use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )
@@ -47,11 +50,12 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output = 4*features
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def conv(f, k, s, name):
-            return nn.Conv(
+            return conv_factory(self.quantized)(
                 f, (k, k), strides=s, padding="SAME", use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )
@@ -85,13 +89,15 @@ class ResNet(nn.Module):
 
     variant: str = "resnet18"
     dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block, depths = _RESNET_CFG[self.variant]
-        x = nn.Conv(
+        # explicit name: same param path ("Conv_0") for nn.Conv and Conv8
+        x = conv_factory(self.quantized)(
             64, (7, 7), strides=2, padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
+            dtype=self.dtype, param_dtype=jnp.float32, name="Conv_0",
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97, dtype=jnp.float32)(x)
         x = nn.relu(x.astype(self.dtype))
@@ -99,8 +105,9 @@ class ResNet(nn.Module):
         taps = []
         for i, (feats, n) in enumerate(zip((64, 128, 256, 512), depths)):
             for j in range(n):
-                x = block(feats, stride=2 if (i > 0 and j == 0) else 1, dtype=self.dtype)(
-                    x, train
-                )
+                x = block(
+                    feats, stride=2 if (i > 0 and j == 0) else 1, dtype=self.dtype,
+                    quantized=self.quantized,
+                )(x, train)
             taps.append(x)
         return taps[1], taps[2], taps[3]

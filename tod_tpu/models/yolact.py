@@ -52,10 +52,11 @@ class Yolact(nn.Module):
 
     def _backbone(self):
         dtype = jnp.dtype(self.cfg.dtype)
+        q = self.cfg.quantized
         if self.cfg.backbone == "mobilenetv2":
-            return MobileNetV2(width_mult=self.cfg.width_mult, dtype=dtype)
+            return MobileNetV2(width_mult=self.cfg.width_mult, dtype=dtype, quantized=q)
         if self.cfg.backbone.startswith("resnet"):
-            return ResNet(variant=self.cfg.backbone, dtype=dtype)
+            return ResNet(variant=self.cfg.backbone, dtype=dtype, quantized=q)
         raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
 
     @nn.compact
@@ -63,12 +64,14 @@ class Yolact(nn.Module):
         """x: (B, H, W, 3) normalized images."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
+        q = cfg.quantized
         c3, c4, c5 = self._backbone()(x, train=train)
-        pyramid = FPN(channels=cfg.fpn_channels, levels=cfg.fpn_levels, dtype=dtype)(
-            c3, c4, c5
-        )
+        pyramid = FPN(
+            channels=cfg.fpn_channels, levels=cfg.fpn_levels, dtype=dtype, quantized=q
+        )(c3, c4, c5)
         prototypes = ProtoNet(
-            num_prototypes=cfg.num_prototypes, channels=cfg.proto_channels, dtype=dtype
+            num_prototypes=cfg.num_prototypes, channels=cfg.proto_channels, dtype=dtype,
+            quantized=q,
         )(pyramid[0])
         head = PredictionHead(
             num_classes=cfg.num_classes,
@@ -76,6 +79,7 @@ class Yolact(nn.Module):
             num_prototypes=cfg.num_prototypes,
             channels=cfg.head_channels,
             dtype=dtype,
+            quantized=q,
         )
         locs, confs, coeffs = [], [], []
         for p in pyramid:  # one shared head applied per level
@@ -83,7 +87,9 @@ class Yolact(nn.Module):
             locs.append(l)
             confs.append(c)
             coeffs.append(k)
-        sem = SemanticHead(num_classes=cfg.num_classes, dtype=dtype)(pyramid[0])
+        sem = SemanticHead(num_classes=cfg.num_classes, dtype=dtype, quantized=q)(
+            pyramid[0]
+        )
         return YolactOutputs(
             loc=jnp.concatenate(locs, axis=1),
             conf=jnp.concatenate(confs, axis=1),

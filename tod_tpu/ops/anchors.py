@@ -29,13 +29,14 @@ def feature_shapes(input_hw: tuple[int, int], strides) -> list[tuple[int, int]]:
 def generate_anchors(cfg: ModelConfig) -> np.ndarray:
     """→ (A, 4) float32 anchors as (cy, cx, h, w), normalized to [0, 1].
 
-    Level i uses scale ``cfg.anchor_scales[i]`` (pixels) and all aspect ratios;
-    following YOLACT, ratio r gives w = s·√r, h = s/√r.
+    Level i uses scale ``cfg.anchor_scales[i]`` (pixels) times each sub-octave
+    multiplier in ``cfg.anchor_scale_mults`` and all aspect ratios; following
+    YOLACT, ratio r at effective scale s gives w = s·√r, h = s/√r.
 
-    Ordering is position-major with the ratio axis innermost — anchor index
-    ``(y*fw + x)*A + j`` — matching PredictionHead's (B, H, W, A·4) →
-    (B, H·W·A, 4) reshape, so loc/conf/coeff index i always pairs with the
-    anchor at the same spatial cell.
+    Ordering is position-major with the anchor axis (mult-major, ratio-minor)
+    innermost — anchor index ``(y*fw + x)*A + m*R + j`` — matching
+    PredictionHead's (B, H, W, A·4) → (B, H·W·A, 4) reshape, so loc/conf/coeff
+    index i always pairs with the anchor at the same spatial cell.
     """
     ih, iw = cfg.input_size
     out = []
@@ -43,14 +44,16 @@ def generate_anchors(cfg: ModelConfig) -> np.ndarray:
         ys = (np.arange(fh) + 0.5) / fh
         xs = (np.arange(fw) + 0.5) / fw
         cy, cx = np.meshgrid(ys, xs, indexing="ij")  # (fh, fw)
-        per_ratio = []
-        for r in cfg.anchor_aspect_ratios:
-            w = scale * math.sqrt(r) / iw
-            h = scale / math.sqrt(r) / ih
-            per_ratio.append(
-                np.stack([cy, cx, np.full_like(cy, h), np.full_like(cx, w)], axis=-1)
-            )  # (fh, fw, 4)
-        lvl = np.stack(per_ratio, axis=2)  # (fh, fw, A, 4), ratio innermost
+        per_anchor = []
+        for mult in cfg.anchor_scale_mults:
+            s = scale * mult
+            for r in cfg.anchor_aspect_ratios:
+                w = s * math.sqrt(r) / iw
+                h = s / math.sqrt(r) / ih
+                per_anchor.append(
+                    np.stack([cy, cx, np.full_like(cy, h), np.full_like(cx, w)], axis=-1)
+                )  # (fh, fw, 4)
+        lvl = np.stack(per_anchor, axis=2)  # (fh, fw, A, 4), anchor innermost
         out.append(lvl.reshape(-1, 4))
     return np.concatenate(out, axis=0).astype(np.float32)
 

@@ -105,7 +105,7 @@ def main() -> None:
 
     # pure device throughput + MFU: K back-to-back steps on a device-resident
     # input, one sync — upload/readback excluded, so this is the chip's view
-    packed_d = jax.device_put(np.zeros((cam.height, cam.width, 5), np.uint8))
+    packed_d = jax.device_put(np.zeros((cam.height * cam.width * 5,), np.uint8))
     out = engine._serve_step_packed(engine.params, packed_d)
     jax.block_until_ready(out)
     k = 50 if on_tpu else 3

@@ -22,3 +22,12 @@ os.environ["PALLAS_AXON_POOL_IPS"] = ""
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's wall time is dominated by XLA:CPU
+# compiles of the model graphs (minutes per fresh run on this 1-core box);
+# caching them across runs cuts repeat suite time several-fold.
+import pathlib  # noqa: E402
+
+_cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

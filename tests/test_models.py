@@ -40,7 +40,7 @@ class TestYolactGraph:
         out = model.apply(params, x, train=False)
         a = anchors.shape[0]
         assert out.loc.shape == (1, a, 4)
-        assert out.conf.shape == (1, a, TINY.num_classes)
+        assert out.conf.shape == (1, a, TINY.det_num_classes)
         assert out.coeff.shape == (1, a, TINY.num_prototypes)
         # protonet at input/4, semantic head at input/8
         assert out.prototypes.shape == (1, 32, 40, TINY.num_prototypes)
@@ -155,7 +155,7 @@ class TestDetectInstanceIds:
         fh, fw = 16, 20
         i1 = (2 * fw + 3) * cfg.num_anchors  # row 2, col 3
         i2 = (12 * fw + 16) * cfg.num_anchors  # row 12, col 16
-        conf = jnp.full((1, a, cfg.num_classes), -10.0)
+        conf = jnp.full((1, a, cfg.det_num_classes), -10.0)
         conf = conf.at[0, i1, 3].set(10.0).at[0, i2, 3].set(10.0)
         loc = jnp.zeros((1, a, 4))
         # prototype 0 lights the whole frame; coeffs select it strongly

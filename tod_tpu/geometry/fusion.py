@@ -185,14 +185,17 @@ def occupancy_map(
         pad_b,
     )
     # Terrain (variable peak values): (2L)² displacement passes (400 at the
-    # reference's L=10) — as the strip-tiled Pallas kernel (kernels/bump.py,
-    # hardware-validated bit-exact vs this file's jnp loop) when
-    # ``use_pallas`` and the height divides the strip, else the XLA-fused
-    # shifted-max loop.
+    # reference's L=10).  Two exact implementations: the strip-tiled Pallas
+    # kernel (kernels/bump.py — hardware-validated bit-exact vs this file's
+    # jnp loop) and the XLA-fused shifted-max loop.  Measured in the fused
+    # serving graph on v5e the XLA loop wins (the strip grid serializes DMA +
+    # roll chains; +9 ms/frame at QVGA), so the kernel is opt-in via
+    # ``geom.pallas_bump`` rather than riding the general ``use_pallas``
+    # switch (which still selects the Pallas connections/mask kernels).
     # Robots (constant peak value, L=20): the separable min-distance² closed
     # form — an algorithmic 1600→80-pass win that beats any displacement-loop
     # kernel.  All paths are exact vs the per-source oracle.
-    if use_pallas and h % 16 == 0:
+    if use_pallas and getattr(geom, "pallas_bump", False) and h % 16 == 0:
         from tod_tpu.kernels.bump import dilate_peaks_strips
 
         terrain = dilate_peaks_strips(

@@ -74,7 +74,7 @@ class Yolact(nn.Module):
             quantized=q,
         )(pyramid[0])
         head = PredictionHead(
-            num_classes=cfg.num_classes,
+            num_classes=cfg.det_num_classes,
             num_anchors=cfg.num_anchors,
             num_prototypes=cfg.num_prototypes,
             channels=cfg.head_channels,

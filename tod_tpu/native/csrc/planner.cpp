@@ -155,52 +155,60 @@ int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
   }
 
   const int64_t nbuckets = static_cast<int64_t>(cmax) + 2;
-  std::vector<std::vector<int64_t>> buckets(nbuckets);
-  std::vector<uint8_t> settled(n, 0);
+  // Hot serving path: labels are kept in f32 (the height map itself is f32 —
+  // per-edge rounding ~6e-8 relative, linear accumulation over a few hundred
+  // hops stays ≤ ~1e-5, inside the backend-agreement band) and the working
+  // buffers persist across calls so the steady-state plan is allocation-free.
+  static thread_local std::vector<std::vector<int32_t>> buckets;
+  static thread_local std::vector<uint8_t> settled;
+  static thread_local std::vector<float> fdist;
+  if (static_cast<int64_t>(buckets.size()) < nbuckets) buckets.resize(nbuckets);
+  for (auto& b : buckets) b.clear();
+  settled.assign(n, 0);
+  fdist.assign(n, INFINITY);
   int64_t pending = 0;
 
   for (int s = 0; s < n_seeds; ++s) {
     int32_t y = seeds[2 * s], x = seeds[2 * s + 1];
     if (y < 0 || y >= h || x < 0 || x >= w) continue;
-    const int64_t idx = static_cast<int64_t>(y) * w + x;
-    if (dist[idx] == 0.0) continue;  // duplicate seed
-    dist[idx] = 0.0;
+    const int32_t idx = y * w + x;
+    if (fdist[idx] == 0.0f) continue;  // duplicate seed
+    fdist[idx] = 0.0f;
     buckets[0].push_back(idx);
     ++pending;
   }
-  const int64_t start_idx =
-      (start_y >= 0 && start_x >= 0) ? static_cast<int64_t>(start_y) * w + start_x
-                                     : -1;
+  const int32_t start_idx =
+      (start_y >= 0 && start_x >= 0) ? start_y * w + start_x : -1;
 
   for (int64_t cur = 0; pending > 0; ++cur) {
-    std::vector<int64_t>& bucket = buckets[cur % nbuckets];
+    std::vector<int32_t>& bucket = buckets[cur % nbuckets];
     // A node relaxed within this bucket's distance band re-enters the SAME
     // bucket only via a stale earlier push (impossible: edges ≥ 1), so one
     // sweep settles it; iterate by index in case of reallocation anyway.
     for (size_t bi = 0; bi < bucket.size(); ++bi) {
-      const int64_t idx = bucket[bi];
+      const int32_t idx = bucket[bi];
       --pending;
       if (settled[idx]) continue;  // stale entry (improved into earlier bucket)
-      const double d0 = dist[idx];
+      const float d0 = fdist[idx];
       if (static_cast<int64_t>(d0) != cur) continue;  // stale (moved buckets)
       settled[idx] = 1;
       if (idx == start_idx) {  // start settled — its label is final
         pending = 0;
         break;
       }
-      const int32_t y = static_cast<int32_t>(idx / w);
-      const int32_t x = static_cast<int32_t>(idx % w);
-      const double h0 = height[idx];
+      const int32_t y = idx / w;
+      const int32_t x = idx % w;
+      const float h0 = height[idx];
       for (int i = 0; i < 8; ++i) {
         const int ny = y + DY[i], nx = x + DX[i];
         if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-        const int64_t nidx = static_cast<int64_t>(ny) * w + nx;
+        const int32_t nidx = ny * w + nx;
         if (settled[nidx]) continue;
-        const double dh = static_cast<double>(height[nidx]) - h0;
-        const double base = (DY[i] != 0 && DX[i] != 0) ? 2.0 : 1.0;
-        const double nd = d0 + std::sqrt(base + dh * dh) + std::fabs(dh);
-        if (nd < dist[nidx]) {
-          dist[nidx] = nd;
+        const float dh = height[nidx] - h0;
+        const float base = (DY[i] != 0 && DX[i] != 0) ? 2.0f : 1.0f;
+        const float nd = d0 + std::sqrt(base + dh * dh) + std::fabs(dh);
+        if (nd < fdist[nidx]) {
+          fdist[nidx] = nd;
           parent[nidx] = idx;
           buckets[static_cast<int64_t>(nd) % nbuckets].push_back(nidx);
           ++pending;
@@ -209,7 +217,15 @@ int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
     }
     bucket.clear();
   }
+  for (int64_t i = 0; i < n; ++i) dist[i] = fdist[i];
   return 0;
 }
+
+// Negative result, kept as a note (round 2): an A* variant with the planar
+// Euclidean lower bound settles the SAME optimal path but measured ~2×
+// SLOWER than this bucket-queue Dijkstra on both smooth and random QVGA
+// heights — the |Δh| term dominates edge costs, so the planar heuristic
+// barely prunes, while f = g + h breaks the width-1 bucket property and
+// forces a binary heap.  Don't re-add it without a cost-aware bound.
 
 }  // extern "C"

@@ -2,9 +2,11 @@
 
 The reference's model is u8-quantized end to end (dequant at
 src/yolact.rs:172-177; 8.05 MiB tflite blob).  The rebuild runs bf16/f32 on the
-MXU by default — faster on TPU than int8 would need to be — but ships a
-post-training weight quantization path for checkpoint-size parity and for
-strict-parity experiments (SURVEY.md §7 "Quantization tolerance"):
+MXU by default — faster on TPU than int8 would need to be — but ships two
+quantization paths: the full int8 *inference* graph (weights AND activations,
+s32 MXU accumulation — ``ModelConfig.quantized`` / models/qconv.py), and this
+post-training weight-only quantization for checkpoint-size parity
+(SURVEY.md §7 "Quantization tolerance"):
 
 - per-channel symmetric int8 for conv/dense kernels (last axis = output
   channels), scales in f32;

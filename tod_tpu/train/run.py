@@ -24,6 +24,15 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     import dataclasses
+    import pathlib
+
+    import jax
+
+    # persistent compilation cache (same dir as bench.py/tests): a config-
+    # unchanged rerun skips the ~3 min train-step compile
+    cache = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tod_tpu.core.config import ModelConfig, TrainConfig
     from tod_tpu.train import SyntheticDetectionData, Trainer

@@ -197,3 +197,41 @@ class TestPlanFromHeight:
         )
         with pytest.raises(ValueError):
             plan_from_height(h, b, PlannerConfig(backend="nativ"))
+
+
+class TestDeviceplan:
+    def test_plan_on_device_matches_host_path(self):
+        """The fully device-resident planning graph (seeds → relaxation →
+        path walk, planner.tpu_relax.plan_on_device) must produce the same
+        direction list as the host pipeline on the same height map."""
+        import jax.numpy as jnp
+
+        from tod_tpu.planner.api import plan_directions_device, plan_from_height
+        from tod_tpu.core.config import PlannerConfig
+
+        rng = np.random.default_rng(3)
+        hm = np.cumsum(rng.normal(0, 0.3, (48, 64)), axis=0).astype(np.float32)
+        hm -= hm.min()
+        balls = np.zeros((16, 4), np.float32)
+        balls[0] = [50.0, 8.0, 40.0, 0.0]   # (x̄, ȳ, count, 0)
+        balls[1] = [10.0, 30.0, 25.0, 0.0]
+        cfg = PlannerConfig(backend="numpy")
+        host = plan_from_height(hm, balls, cfg)
+        dev = plan_directions_device(jnp.asarray(hm), jnp.asarray(balls), cfg)
+        assert len(dev.directions) == len(host.directions) > 5
+        hm_total = sum(m for m, _ in host.directions)
+        dv_total = sum(m for m, _ in dev.directions)
+        assert dv_total == pytest.approx(hm_total, rel=1e-4)
+        for (m1, r1), (m2, r2) in zip(host.directions, dev.directions):
+            assert m2 == pytest.approx(m1, rel=1e-3, abs=1e-3)
+            assert r2 == pytest.approx(r1, abs=1e-4)
+
+    def test_plan_on_device_no_balls_is_empty(self):
+        import jax.numpy as jnp
+
+        from tod_tpu.planner.api import plan_directions_device
+
+        hm = jnp.zeros((32, 32), jnp.float32)
+        balls = jnp.zeros((8, 4), jnp.float32)
+        p = plan_directions_device(hm, balls)
+        assert p.directions == []

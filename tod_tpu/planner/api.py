@@ -112,6 +112,33 @@ def plan_from_height(
     )
 
 
+def plan_directions_device(
+    height_dev, balls_dev, cfg: PlannerConfig | None = None,
+    start_yx: tuple[int, int] | None = None,
+) -> Path:
+    """Device-resident planning: height/balls stay in HBM, the whole stage
+    (seeds → Bellman-Ford → path walk) runs as one jit graph, and only the
+    (max_steps, 2) f32 direction list is read back (~8 KB vs the 150 KB
+    height map).  The serving-loop planner path when backend == "tpu"."""
+    cfg = cfg or PlannerConfig()
+    from tod_tpu.planner.tpu_relax import plan_on_device
+
+    h, w = height_dev.shape
+    start = start_yx or start_node_yx((h, w))
+    dirs_d, n_d = plan_on_device(
+        height_dev, balls_dev, start,
+        max_seeds=cfg.max_seed_balls,
+        min_pixels=cfg.min_ball_pixels,
+        max_iters=cfg.tpu_max_iters,
+    )
+    n = int(n_d)
+    dirs = np.asarray(dirs_d)[:n]
+    return Path(
+        created=time.time(),
+        directions=[(float(m), float(r)) for m, r in dirs],
+    )
+
+
 def _pos_from_height(height: np.ndarray) -> np.ndarray:
     h, w = height.shape
     pos = np.empty((h, w, 3), np.float32)

@@ -78,6 +78,103 @@ def bellman_ford_grid(height, connections, seed_mask, max_iters: int = 2048):
     return dist, next_dir
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("start_yx", "max_seeds", "min_pixels", "max_steps", "max_iters"),
+)
+def plan_on_device(
+    height,
+    balls,
+    start_yx: tuple[int, int],
+    max_seeds: int = 3,
+    min_pixels: float = 3.0,
+    max_steps: int = 1024,
+    max_iters: int = 2048,
+):
+    """The WHOLE planning stage as one device graph: ball slots → seeds →
+    Bellman-Ford relaxation → next-hop path walk → (magnitude, rotation) list.
+
+    Serving rationale: the streaming host has one core; the ~20 ms host
+    Dijkstra plus a 150 KB height readback per plan fights the dispatch loop
+    for it (measured plan p50 70-80 ms in-loop).  Planning on the device
+    costs ~7-9 ms of chip time that interleaves with frame steps, and the
+    readback shrinks to the (max_steps, 2) f32 direction list (8 KB).
+
+    → (directions (max_steps, 2) f32, n_valid i32 scalar).  Row i is
+    (magnitude, rotation) matching dijkstra.extract_directions semantics
+    (src/path.rs:93-111 intent, ground-plane angles); rows ≥ n_valid are 0.
+    """
+    h, w = height.shape
+    height = height.astype(jnp.float32)
+
+    # --- seeds from ball slots (dijkstra.seeds_from_balls semantics) -------
+    cnt = balls[:, 2]
+    topv, topi = jax.lax.top_k(cnt, max_seeds)
+    ys = jnp.round(balls[topi, 1]).astype(jnp.int32)
+    xs = jnp.round(balls[topi, 0]).astype(jnp.int32)
+    ok = (topv > jnp.maximum(min_pixels, 0.0)) & (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+    seed_mask = (
+        jnp.zeros((h, w), jnp.int32)
+        .at[jnp.where(ok, ys, 0), jnp.where(ok, xs, 0)]
+        .max(ok.astype(jnp.int32))
+        .astype(bool)
+    )
+
+    # --- edge weights from height (pt_cloud_weights.comp inline) -----------
+    from tod_tpu.geometry.fusion import connection_weights
+
+    _, conns = connection_weights(height)
+    dist, next_dir = bellman_ford_grid.__wrapped__(height, conns, seed_mask, max_iters)
+
+    # --- path walk (extract_directions semantics, on device) ---------------
+    offs = jnp.asarray(NEIGHBOR_OFFSETS, jnp.int32)  # (8, 2)
+    sy, sx = start_yx
+    start_lin = jnp.int32(sy * w + sx)
+    nd_flat = next_dir.reshape(-1)
+    dist_flat = dist.reshape(-1)
+
+    def hop(lin):
+        """next node following next_dir (lin unchanged at terminals)."""
+        d = nd_flat[lin]
+        y, x = lin // w, lin % w
+        step = offs[jnp.clip(d, 0, 7)]
+        return jnp.where(d >= 0, (y + step[0]) * w + (x + step[1]), lin)
+
+    def body(i, carry):
+        cur, rotation, out, n = carry
+        d = nd_flat[cur]
+        alive = d >= 0
+        nxt = hop(cur)
+        mag = dist_flat[cur] - dist_flat[nxt]
+        out = out.at[i].set(
+            jnp.where(alive, jnp.stack([mag, rotation]), jnp.zeros(2))
+        )
+        # turning angle for the NEXT hop: segments (cur←nxt) and (nn←nxt) in
+        # the ground plane (grid x, grid y)
+        nn = hop(nxt)
+        ax = (cur % w - nxt % w).astype(jnp.float32)
+        ay = (cur // w - nxt // w).astype(jnp.float32)
+        bx = (nn % w - nxt % w).astype(jnp.float32)
+        by = (nn // w - nxt // w).astype(jnp.float32)
+        na = jnp.sqrt(ax * ax + ay * ay)
+        nb = jnp.sqrt(bx * bx + by * by)
+        cosang = jnp.clip((ax * bx + ay * by) / jnp.maximum(na * nb, 1e-12), -1.0, 1.0)
+        rotation = jnp.where((na > 0) & (nb > 0), jnp.arccos(cosang), 0.0)
+        return (
+            jnp.where(alive, nxt, cur),
+            rotation,
+            out,
+            n + alive.astype(jnp.int32),
+        )
+
+    reached = jnp.isfinite(jnp.where(dist_flat[start_lin] >= _INF, jnp.inf, dist_flat[start_lin]))
+    init = (start_lin, jnp.float32(0.0), jnp.zeros((max_steps, 2), jnp.float32), jnp.int32(0))
+    cur, _, out, n = jax.lax.fori_loop(0, max_steps, body, init)
+    n = jnp.where(reached, n, 0)
+    out = jnp.where(reached, out, jnp.zeros_like(out))
+    return out, n
+
+
 def extract_directions_from_next(dist, next_dir, pos, start_yx, max_steps=None):
     """Host-side path walk for the TPU backend (mirrors
     dijkstra.extract_directions but follows direction indices)."""

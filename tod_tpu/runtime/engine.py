@@ -154,6 +154,31 @@ class Engine:
 
         self._serve_step_packed = jax.jit(_serve_step_packed)
 
+        # Device-planner serving mode (planner.backend == "tpu"): the frame
+        # step keeps the scene ON DEVICE — (height f32, balls) — and the
+        # planner worker dispatches the whole planning stage as a second
+        # device graph (planner.tpu_relax.plan_on_device), reading back only
+        # the (max_steps, 2) direction list (~8 KB) instead of the 150 KB
+        # height map.  The streaming host (one core) does no planning work.
+        def _serve_step_scene(p, packed):
+            rgb = packed[:n_rgb].reshape(*cam_hw, 3)
+            depth = jax.lax.bitcast_convert_type(
+                packed[n_rgb:].reshape(*cam_hw, 2), jnp.uint16
+            )
+            scene, _ = _step(p, rgb, depth)
+            return scene.height.astype(jnp.float32), scene.balls
+
+        self._serve_step_scene = jax.jit(_serve_step_scene)
+        # "auto" resolves to device planning when serving on a real TPU: it
+        # frees the single streaming core AND shrinks the per-plan readback
+        # 150 KB → 8 KB (remote-transport readback bandwidth is the least
+        # reliable resource in this deployment).  Off-TPU "auto" keeps the
+        # host path (native C++ Dijkstra), which the planner tests pin.
+        backend = self.cfg.planner.backend
+        self._plan_on_device_mode = backend == "tpu" or (
+            backend == "auto" and jax.default_backend() == "tpu"
+        )
+
     def _unpack_plan_buffer(self, buf: np.ndarray):
         """Host-side inverse of the serving step's output packing."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
@@ -173,8 +198,15 @@ class Engine:
         out = self._serve_step(self.params, rgb, depth)
         jax.block_until_ready(out)
         packed = jnp.zeros((h * w * 5,), jnp.uint8)
-        out = self._serve_step_packed(self.params, packed)
-        jax.block_until_ready(out)
+        if self._plan_on_device_mode:
+            hb = self._serve_step_scene(self.params, packed)
+            jax.block_until_ready(hb)
+            from tod_tpu.planner.api import plan_directions_device
+
+            plan_directions_device(*hb, self.cfg.planner, (h - 1, max(0, w - 240)))
+        else:
+            out = self._serve_step_packed(self.params, packed)
+            jax.block_until_ready(out)
         return time.perf_counter() - t0
 
     def process(self, frame: Frame) -> tuple[Scene, Detections]:
@@ -216,6 +248,9 @@ class Engine:
         planner = _PlannerWorker(self, path_store) if plan_paths else None
         uploader = _UploadWorker(source, n_frames)
         sampler = _LatencySampler(self.timer)
+        serve_fn = (
+            self._serve_step_scene if self._plan_on_device_mode else self._serve_step_packed
+        )
         n_done = 0
         out_d = None
         t_batch = time.perf_counter()
@@ -226,15 +261,15 @@ class Engine:
             if item is None:
                 break
             t_dispatch = time.perf_counter()
-            out_d = self._serve_step_packed(self.params, item)
+            out_d = serve_fn(self.params, item)
             # start the device→host copy NOW, overlapped with subsequent frames'
             # compute — by the time the planner thread calls np.asarray the
             # bytes are usually already on host, so the measured plan stage is
             # ~pure Dijkstra instead of Dijkstra + a transport round trip
             try:
                 out_d.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
+            except (AttributeError, NotImplementedError, TypeError):
+                pass  # tuple outputs (device-planner mode) stay on device
             if planner is not None:
                 planner.submit(out_d)
             sampler.submit(out_d, t_dispatch)
@@ -353,8 +388,11 @@ class _PlannerWorker:
             self._cv.notify()
 
     def _loop(self) -> None:
-        from tod_tpu.planner.api import plan_from_height
+        from tod_tpu.planner.api import plan_directions_device, plan_from_height
+        from tod_tpu.planner.dijkstra import start_node_yx
 
+        cam = self.engine.cfg.camera
+        start = start_node_yx((cam.height, cam.width))
         while True:
             with self._cv:
                 while self._slot is None and not self._stop:
@@ -364,10 +402,17 @@ class _PlannerWorker:
                 out_d = self._slot
                 self._slot = None
             with self.engine.timer.stage("plan"):
-                # single readback (usually already prefetched to host by
-                # copy_to_host_async at dispatch time)
-                height, balls = self.engine._unpack_plan_buffer(np.asarray(out_d))
-                path = plan_from_height(height, balls, self.engine.cfg.planner)
+                if self.engine._plan_on_device_mode:
+                    # whole planning stage on device; 8 KB direction readback
+                    height_d, balls_d = out_d
+                    path = plan_directions_device(
+                        height_d, balls_d, self.engine.cfg.planner, start
+                    )
+                else:
+                    # single readback (usually already prefetched to host by
+                    # copy_to_host_async at dispatch time)
+                    height, balls = self.engine._unpack_plan_buffer(np.asarray(out_d))
+                    path = plan_from_height(height, balls, self.engine.cfg.planner)
             self.n_planned += 1
             self.last_path = path
             if self.path_store is not None:

@@ -105,6 +105,25 @@ class TestEngine:
         assert metrics["fps"] > 0
         assert "plan" in metrics["stages"]
 
+    def test_run_loop_device_planner_mode(self):
+        """Serving with the fully device-resident planner (backend="tpu"):
+        the frame step returns (height, balls) device arrays and the planner
+        worker dispatches plan_on_device, reading back only the direction
+        list — the loop the TPU serving default ("auto" on a real chip)
+        takes.  Runs on the CPU backend here (same graph, same semantics)."""
+        cfg = dataclasses.replace(TINY_CFG, planner=PlannerConfig(backend="tpu"))
+        eng = Engine(cfg, mode="semantic", use_pallas=False)
+        assert eng._plan_on_device_mode
+        store = PathStore()
+        metrics = eng.run(
+            SyntheticSource(TINY_CAM, n_frames=3), path_store=store, plan_paths=True
+        )
+        assert metrics["n_frames"] == 3
+        assert metrics["plans_done"] >= 1
+        # the store received a Path object (directions may be empty with
+        # random weights — the contract is the plumbing, not the content)
+        assert store.get() is not None
+
     def test_semantic_mode(self):
         eng = Engine(TINY_CFG, mode="semantic", use_pallas=False)
         frame = next(SyntheticSource(TINY_CAM, n_frames=1).frames())

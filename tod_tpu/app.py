@@ -36,6 +36,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--no-server", action="store_true")
     p.add_argument("--planner", choices=("auto", "native", "numpy", "tpu"), default="auto")
+    p.add_argument(
+        "--int8", action="store_true",
+        help="int8 end-to-end inference (the reference's u8-graph parity mode)",
+    )
     p.add_argument("--debug-dump", action="store_true", help="write map.bmp etc. per run")
     p.add_argument("--metrics-json", action="store_true", help="print metrics as JSON at exit")
     return p
@@ -58,7 +62,10 @@ def main(argv=None) -> int:
     cam = CameraConfig(width=args.width, height=args.height, fps=args.fps)
     cfg = PipelineConfig(
         camera=cam,
-        model=ModelConfig(input_size=(args.height // 8 * 8, args.width // 8 * 8)),
+        model=ModelConfig(
+            input_size=(args.height // 8 * 8, args.width // 8 * 8),
+            quantized=args.int8,
+        ),
         planner=PlannerConfig(backend=args.planner),
         server=ServerConfig(host=args.host, port=args.port),
     )

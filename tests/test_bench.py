@@ -9,10 +9,10 @@ from tod_tpu.train.evaluate import box_iou
 
 
 class TestBenchRegistry:
-    def test_six_configs_registered(self):
-        # 1-5 = BASELINE.json configs; 6 = the VGA streaming variant
-        # (the reference's native 640x480, src/scene.rs:36-37)
-        assert sorted(CONFIGS) == [1, 2, 3, 4, 5, 6]
+    def test_configs_registered(self):
+        # 1-5 = BASELINE.json configs; 6 = VGA streaming (the reference's
+        # native 640x480, src/scene.rs:36-37); 7 = batch throughput + MFU
+        assert sorted(CONFIGS) == [1, 2, 3, 4, 5, 6, 7]
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 

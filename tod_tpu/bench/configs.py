@@ -237,6 +237,72 @@ def config6_streaming_e2e_vga() -> dict:
     }
 
 
+def config7_batch_throughput_mfu() -> dict:
+    """Config 7: offline batch-inference throughput + MFU.
+
+    Batch-1 serving is latency/dispatch-bound (MFU ~0.6% — the chip idles
+    between tiny convs); this config shows the throughput ceiling: the model
+    forward at batch 16, VGA, bf16, back-to-back on device, with achieved
+    FLOPs/s over the chip's bf16 peak from XLA's own cost analysis."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tod_tpu.core.config import ModelConfig
+    from tod_tpu.models.yolact import create_model
+    from tod_tpu.ops.preprocess import preprocess_frame
+
+    on_tpu = _on_tpu()
+    batch = 16 if on_tpu else 2
+    hw = (480, 640) if on_tpu else (64, 64)
+    mcfg = ModelConfig(input_size=hw) if on_tpu else ModelConfig(
+        input_size=hw, fpn_channels=16, proto_channels=16, head_channels=16,
+        width_mult=0.25, num_prototypes=8,
+    )
+    model, _ = create_model(mcfg)
+    x0 = jnp.zeros((batch, *hw, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.PRNGKey(0))
+    params = _pinned_params() if on_tpu and hw == (480, 640) else None
+    if params is not None:
+        variables = jax.device_put(params)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = fwd(variables, x0)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    k = 20 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(k):
+        out = fwd(variables, x0)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    step_s = (time.perf_counter() - t0) / k
+    imgs_per_s = batch / step_s
+
+    mfu = flops = None
+    try:
+        ca = fwd.lower(variables, x0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        if on_tpu:
+            # v5e bf16 peak (public spec); other gens reported without MFU
+            kind = jax.devices()[0].device_kind.lower()
+            peak = 197e12 if "v5" in kind else None
+            mfu = round(flops / step_s / peak, 4) if peak else None
+    except Exception:
+        pass
+
+    return {
+        "metric": f"batch{batch}_model_throughput_{hw[0]}x{hw[1]}",
+        "value": round(imgs_per_s, 1),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_s / REF_FRAME_FPS, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "step_gflops": round(flops / 1e9, 1) if flops else None,
+        "mfu": mfu,
+        "backend": jax.default_backend(),
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
@@ -244,6 +310,7 @@ CONFIGS = {
     4: config4_rgbd_fusion_batch8,
     5: config5_streaming_e2e,
     6: config6_streaming_e2e_vga,
+    7: config7_batch_throughput_mfu,
 }
 
 

@@ -224,6 +224,7 @@ class Engine:
         warmup: bool = True,
         watchdog=None,
         sync_every: int = 16,
+        max_inflight: int | None = None,
     ) -> dict:
         """Drive the full loop; returns metrics (fps, p50 latency, stages).
 
@@ -256,12 +257,27 @@ class Engine:
         t_batch = time.perf_counter()
         batch_n = 0
         t_start = time.perf_counter()
+        # Optional bounded dispatch depth: async dispatch with no
+        # back-pressure lets the queue grow to whatever the host can enqueue,
+        # so dispatch→ready latency becomes a queueing artifact.  Blocking on
+        # the (n − max_inflight)-th output caps in-flight work — latency ≈
+        # max_inflight · device_step — the right trade on a LOCAL chip.  Over
+        # a remote transport every readiness check costs a ~20-60 ms round
+        # trip (it halved FPS when measured here), so the default stays
+        # unbounded with the sync_every batch sync as the only back-pressure.
+        from collections import deque
+
+        inflight: "deque" = deque()
         while True:
             item = uploader.next()
             if item is None:
                 break
             t_dispatch = time.perf_counter()
             out_d = serve_fn(self.params, item)
+            if max_inflight is not None:
+                inflight.append(out_d)
+                if len(inflight) > max_inflight:
+                    jax.block_until_ready(inflight.popleft())
             # start the device→host copy NOW, overlapped with subsequent frames'
             # compute — by the time the planner thread calls np.asarray the
             # bytes are usually already on host, so the measured plan stage is

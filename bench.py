@@ -103,16 +103,32 @@ def main() -> None:
     metrics = max(runs, key=lambda m: m["fps"])
     metrics["compile_s"] = compile_s
 
-    # pure device throughput + MFU: K back-to-back steps on a device-resident
-    # input, one sync — upload/readback excluded, so this is the chip's view
+    # Pure device step time + MFU, honestly: K steps SERIALIZED inside one
+    # fori_loop via an opaque data dependency (each iteration's input depends
+    # on the previous output through a branch XLA cannot fold away), followed
+    # by a 4-byte VALUE readback.  On this remote backend block_until_ready
+    # acks a dispatch chain without awaiting remote completion, so the naive
+    # "K dispatches + one sync" loop reads absurdly fast; only materializing
+    # a value guarantees the work ran.  The single readback amortizes over K.
+    import jax.numpy as jnp
+
     packed_d = jax.device_put(np.zeros((cam.height * cam.width * 5,), np.uint8))
-    out = engine._serve_step_packed(engine.params, packed_d)
-    jax.block_until_ready(out)
-    k = 50 if on_tpu else 3
+    k = 32 if on_tpu else 2
+
+    def _chained(p, packed, k):
+        def body(i, carry):
+            pk, acc = carry
+            out = engine._serve_step_packed_fn(p, pk)
+            s = out.astype(jnp.int32).sum()  # < 2^31 always
+            pk = jnp.where(s > jnp.int32(2**31 - 1), pk ^ 1, pk)  # opaque no-op
+            return pk, acc + s
+        _, acc = jax.lax.fori_loop(0, k, body, (packed, jnp.int32(0)))
+        return acc
+
+    chained = jax.jit(_chained, static_argnums=2)
+    float(chained(engine.params, packed_d, k))  # warm (compile + first run)
     t0 = time.perf_counter()
-    for _ in range(k):
-        out = engine._serve_step_packed(engine.params, packed_d)
-    jax.block_until_ready(out)
+    float(chained(engine.params, packed_d, k))  # value forces completion
     device_step_ms = (time.perf_counter() - t0) / k * 1e3
 
     flops = _step_flops(engine, packed_d)

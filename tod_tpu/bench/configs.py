@@ -267,13 +267,27 @@ def config7_batch_throughput_mfu() -> dict:
         variables = jax.device_put(params)
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    out = fwd(variables, x0)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
-    k = 20 if on_tpu else 2
+
+    # K forwards serialized inside one fori_loop by an opaque data dependency,
+    # finished with a 4-byte VALUE readback: on remote backends
+    # block_until_ready can ack a dispatch chain before remote completion, so
+    # chained-dispatch timing is only honest when a value comes back.
+    k = 16 if on_tpu else 2
+
+    def _chained(v, x):
+        def body(i, carry):
+            xx, acc = carry
+            out = model.apply(v, xx, train=False)
+            s = out.loc.sum()
+            xx = jnp.where(jnp.isnan(s), xx + 1, xx)  # opaque no-op dependency
+            return xx, acc + s
+        _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
+        return acc
+
+    chained = jax.jit(_chained)
+    float(chained(variables, x0))  # warm
     t0 = time.perf_counter()
-    for _ in range(k):
-        out = fwd(variables, x0)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    float(chained(variables, x0))
     step_s = (time.perf_counter() - t0) / k
     imgs_per_s = batch / step_s
 

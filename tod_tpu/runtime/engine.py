@@ -153,6 +153,7 @@ class Engine:
             return _serve_step(p, rgb, depth)
 
         self._serve_step_packed = jax.jit(_serve_step_packed)
+        self._serve_step_packed_fn = _serve_step_packed  # unjitted (bench chaining)
 
         # Device-planner serving mode (planner.backend == "tpu"): the frame
         # step keeps the scene ON DEVICE — (height f32, balls) — and the

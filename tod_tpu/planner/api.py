@@ -112,31 +112,47 @@ def plan_from_height(
     )
 
 
+def dispatch_plan_device(
+    height_dev, balls_dev, cfg: PlannerConfig | None = None,
+    start_yx: tuple[int, int] | None = None,
+):
+    """Dispatch the device plan graph (async); → one (max_steps+1, 2) f32
+    device buffer (row 0 = header with n_valid).  Call from the serving loop
+    at a sync point so the plan runs while the dispatch queue is empty;
+    materialize on a worker thread."""
+    cfg = cfg or PlannerConfig()
+    from tod_tpu.planner.tpu_relax import plan_on_device
+
+    h, w = height_dev.shape
+    start = start_yx or start_node_yx((h, w))
+    return plan_on_device(
+        height_dev, balls_dev, start,
+        max_seeds=cfg.max_seed_balls,
+        min_pixels=cfg.min_ball_pixels,
+        max_iters=cfg.tpu_max_iters,
+    )
+
+
+def materialize_path(plan_dev) -> Path:
+    """Read back a dispatched device plan (ONE ~8 KB transfer) into a Path."""
+    buf = np.asarray(plan_dev)
+    n = int(buf[0, 0])
+    dirs = buf[1 : 1 + n]
+    return Path(
+        created=time.time(),
+        directions=[(float(m), float(r)) for m, r in dirs],
+    )
+
+
 def plan_directions_device(
     height_dev, balls_dev, cfg: PlannerConfig | None = None,
     start_yx: tuple[int, int] | None = None,
 ) -> Path:
     """Device-resident planning: height/balls stay in HBM, the whole stage
     (seeds → Bellman-Ford → path walk) runs as one jit graph, and only the
-    (max_steps, 2) f32 direction list is read back (~8 KB vs the 150 KB
+    (max_steps+1, 2) f32 plan buffer is read back (~8 KB vs the 150 KB
     height map).  The serving-loop planner path when backend == "tpu"."""
-    cfg = cfg or PlannerConfig()
-    from tod_tpu.planner.tpu_relax import plan_on_device
-
-    h, w = height_dev.shape
-    start = start_yx or start_node_yx((h, w))
-    dirs_d, n_d = plan_on_device(
-        height_dev, balls_dev, start,
-        max_seeds=cfg.max_seed_balls,
-        min_pixels=cfg.min_ball_pixels,
-        max_iters=cfg.tpu_max_iters,
-    )
-    n = int(n_d)
-    dirs = np.asarray(dirs_d)[:n]
-    return Path(
-        created=time.time(),
-        directions=[(float(m), float(r)) for m, r in dirs],
-    )
+    return materialize_path(dispatch_plan_device(height_dev, balls_dev, cfg, start_yx))
 
 
 def _pos_from_height(height: np.ndarray) -> np.ndarray:

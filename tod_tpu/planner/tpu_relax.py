@@ -100,9 +100,10 @@ def plan_on_device(
     costs ~7-9 ms of chip time that interleaves with frame steps, and the
     readback shrinks to the (max_steps, 2) f32 direction list (8 KB).
 
-    → (directions (max_steps, 2) f32, n_valid i32 scalar).  Row i is
-    (magnitude, rotation) matching dijkstra.extract_directions semantics
-    (src/path.rs:93-111 intent, ground-plane angles); rows ≥ n_valid are 0.
+    → one (max_steps + 1, 2) f32 buffer: row 0 = (n_valid, 0); row 1+i is
+    the i-th (magnitude, rotation) matching dijkstra.extract_directions
+    semantics (src/path.rs:93-111 intent, ground-plane angles); rows past
+    n_valid are 0.  Single-buffer so ONE readback materializes the plan.
     """
     h, w = height.shape
     height = height.astype(jnp.float32)
@@ -172,7 +173,12 @@ def plan_on_device(
     cur, _, out, n = jax.lax.fori_loop(0, max_steps, body, init)
     n = jnp.where(reached, n, 0)
     out = jnp.where(reached, out, jnp.zeros_like(out))
-    return out, n
+    # Single-buffer result: row 0 carries (n_valid, 0), rows 1.. the
+    # directions — ONE device→host readback materializes the whole plan
+    # (each round trip on a remote transport costs tens of ms regardless of
+    # size; a separate scalar read for n doubled the plan latency).
+    header = jnp.stack([n.astype(jnp.float32), jnp.float32(0.0)])[None, :]
+    return jnp.concatenate([header, out], axis=0)
 
 
 def extract_directions_from_next(dist, next_dir, pos, start_yx, max_steps=None):

@@ -180,6 +180,27 @@ class Engine:
             backend == "auto" and jax.default_backend() == "tpu"
         )
 
+    def _plan_payload(self, out_d):
+        """What the planner worker receives for one plan.  Device mode:
+        dispatch the plan graph immediately (caller holds an empty dispatch
+        queue) and hand over the pending (dirs, n) device arrays.  Host mode:
+        the packed readback buffer."""
+        if not self._plan_on_device_mode:
+            return out_d
+        from tod_tpu.planner.api import dispatch_plan_device
+        from tod_tpu.planner.dijkstra import start_node_yx
+
+        cam = self.cfg.camera
+        height_d, balls_d = out_d
+        plan_d = dispatch_plan_device(
+            height_d, balls_d, self.cfg.planner, start_node_yx((cam.height, cam.width))
+        )
+        try:
+            plan_d.copy_to_host_async()  # overlap the ~8 KB readback
+        except (AttributeError, NotImplementedError):
+            pass
+        return plan_d
+
     def _unpack_plan_buffer(self, buf: np.ndarray):
         """Host-side inverse of the serving step's output packing."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
@@ -287,13 +308,20 @@ class Engine:
                 out_d.copy_to_host_async()
             except (AttributeError, NotImplementedError, TypeError):
                 pass  # tuple outputs (device-planner mode) stay on device
-            if planner is not None:
-                planner.submit(out_d)
             sampler.submit(out_d, t_dispatch)
             n_done += 1
             batch_n += 1
             if batch_n >= sync_every:
                 jax.block_until_ready(out_d)
+                # Plan at the sync point: the dispatch queue is EMPTY here,
+                # so dispatching the plan graph NOW (main thread, device
+                # mode) lets it run before the next batch of frame steps
+                # enqueues — plan p50 drops from ~(queue depth × step) to
+                # ~one plan's own compute + readback.  The worker thread only
+                # materializes the ~8 KB direction list.  Host mode submits
+                # the packed buffer as before.  Drop-old semantics unchanged.
+                if planner is not None:
+                    planner.submit(self._plan_payload(out_d))
                 now = time.perf_counter()
                 per_frame = (now - t_batch) / batch_n
                 for _ in range(batch_n):
@@ -305,6 +333,8 @@ class Engine:
                 batch_n = 0
         if out_d is not None and batch_n:
             jax.block_until_ready(out_d)
+            if planner is not None:
+                planner.submit(self._plan_payload(out_d))  # final batch plans too
             per_frame = (time.perf_counter() - t_batch) / batch_n
             for _ in range(batch_n):
                 self.timer.record("frame", per_frame)
@@ -420,11 +450,11 @@ class _PlannerWorker:
                 self._slot = None
             with self.engine.timer.stage("plan"):
                 if self.engine._plan_on_device_mode:
-                    # whole planning stage on device; 8 KB direction readback
-                    height_d, balls_d = out_d
-                    path = plan_directions_device(
-                        height_d, balls_d, self.engine.cfg.planner, start
-                    )
+                    # plan graph already dispatched at the sync point (main
+                    # thread); materialize the ~8 KB direction list
+                    from tod_tpu.planner.api import materialize_path
+
+                    path = materialize_path(out_d)
                 else:
                     # single readback (usually already prefetched to host by
                     # copy_to_host_async at dispatch time)

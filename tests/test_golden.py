@@ -170,6 +170,9 @@ class TestTrainedCheckpoint:
         assert m["det_recall_iou50"] >= 0.8, m
         assert m["det_best_box_iou_mean"] >= 0.7, m
         assert 0.5 <= m["detections_per_gt"] <= 1.6, m
+        # per-instance binary masks (the YOLACT capability, not just the
+        # semantic map): pinned checkpoint measures 0.87
+        assert m["inst_mask_iou_mean"] >= 0.75, m
 
     def test_quantized_engine_matches_float_within_band(self):
         """Int8 end-to-end engine (ModelConfig.quantized) vs the bf16 engine on

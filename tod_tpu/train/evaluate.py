@@ -52,9 +52,9 @@ def evaluate(
 
     sem_i = {1: 0.0, 2: 0.0, 3: 0.0}
     sem_u = {1: 0.0, 2: 0.0, 3: 0.0}
-    best_ious, scores, n_gt, n_det = [], [], 0, 0
+    best_ious, scores, inst_mask_ious, n_gt, n_det = [], [], [], 0, 0
     for _ in range(n_scenes):
-        img, gboxes, gclasses, gvalid, _, sem = data._scene()
+        img, gboxes, gclasses, gvalid, ginst, sem = data._scene()
         frame = Frame(rgb=img, depth=depth)
         _, dets = eng.process(frame)
         _, dets_sem = eng_sem.process(frame)
@@ -67,18 +67,31 @@ def evaluate(
         valid = np.asarray(dets.valid)
         boxes = np.asarray(dets.boxes)[valid]
         classes = np.asarray(dets.classes)[valid]
+        det_masks = np.asarray(dets.masks)[valid]  # (N, H/4, W/4) soft
         scores.extend(np.asarray(dets.scores)[valid].tolist())
         n_det += int(valid.sum())
-        for gb, gc, gv in zip(gboxes, gclasses, gvalid):
+        # GT instance masks at the prototype resolution (the masks' native res)
+        ginst_p = data._downsample_mask(ginst, 4) > 0.5
+        for j, (gb, gc, gv) in enumerate(zip(gboxes, gclasses, gvalid)):
             if not gv:
                 continue
             n_gt += 1
             same = classes == gc
             # GT objects with no same-class detection count as IoU 0 so the
             # recall metrics are over ALL ground truth, not just matched GT.
-            best_ious.append(
-                max(box_iou(gb, b) for b in boxes[same]) if same.any() else 0.0
-            )
+            if not same.any():
+                best_ious.append(0.0)
+                inst_mask_ious.append(0.0)
+                continue
+            ious = [box_iou(gb, b) for b in boxes[same]]
+            best_ious.append(max(ious))
+            # instance-mask IoU of the best-box detection vs the GT instance
+            # (the YOLACT capability: per-instance binary masks, not just
+            # the semantic map)
+            bm = det_masks[same][int(np.argmax(ious))] > 0.5
+            gm = ginst_p[j]
+            union = (bm | gm).sum()
+            inst_mask_ious.append(float((bm & gm).sum() / union) if union else 0.0)
 
     return {
         "checkpoint": ckpt,
@@ -95,6 +108,9 @@ def evaluate(
         ) if best_ious else 0.0,
         "mean_score": round(float(np.mean(scores)), 4) if scores else 0.0,
         "detections_per_gt": round(n_det / max(n_gt, 1), 3),
+        "inst_mask_iou_mean": round(
+            float(np.mean(inst_mask_ious)), 4
+        ) if inst_mask_ious else 0.0,
     }
 
 

@@ -18,7 +18,7 @@ native:
 bench:
 	python bench.py
 
-bench-all:  # all five BASELINE.json configs
+bench-all:  # all benchmark configs (BASELINE 1-5 + VGA + batch MFU)
 	python -m tod_tpu.bench --all
 
 dryrun:

@@ -123,6 +123,10 @@ class PlannerConfig:
     max_seed_balls: int = 3
     backend: str = "auto"  # "auto" | "native" | "numpy" | "tpu"
     tpu_max_iters: int = 2048  # Bellman-Ford iteration cap for the TPU backend
+    # device path-walk step cap (plan_on_device): must exceed the longest
+    # expected path; a straight VGA diagonal is ~640 hops and obstacle
+    # detours add more (the host walk is uncapped)
+    max_path_steps: int = 2048
     # minimum pixels behind a ball-centroid slot before it may seed the
     # search — suppresses phantom slots from fringe pixels of duplicate
     # detections surviving Fast-NMS

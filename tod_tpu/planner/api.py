@@ -129,6 +129,7 @@ def dispatch_plan_device(
         height_dev, balls_dev, start,
         max_seeds=cfg.max_seed_balls,
         min_pixels=cfg.min_ball_pixels,
+        max_steps=cfg.max_path_steps,
         max_iters=cfg.tpu_max_iters,
     )
 

@@ -257,10 +257,12 @@ class Engine:
           frames — on remote transports an explicit ``block_until_ready`` costs
           a ~20 ms round trip, so per-frame syncs would cap throughput (the
           dispatch queue itself bounds memory);
-        - the planner runs on a worker thread against the *latest* scene
-          (depth-1 slot, drop-old — a stale path is worthless, same policy as
-          the camera ring), reading back only the height map + ball slots
-          (see planner.api.plan_from_height).
+        - the planner plans the *latest* scene only (depth-1 slot, drop-old —
+          a stale path is worthless, same policy as the camera ring).  In
+          device mode the plan graph is dispatched at batch-sync points
+          (empty queue) and only the ~8 KB direction list is read back
+          (planner.api.dispatch_plan_device); host mode reads back the packed
+          height+balls buffer (planner.api.plan_from_height).
         """
         if warmup:
             compile_s = self.warmup()

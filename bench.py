@@ -24,21 +24,11 @@ import time
 
 BASELINE_FPS = 7.0  # reference full-frame rate, BASELINE.md "Implied full-frame classify"
 
-# bf16 peak FLOPs/s by TPU generation (public cloud.google.com/tpu/docs specs)
-_PEAK_FLOPS = {
-    "v6": 918e12,
-    "v5p": 459e12,
-    "v5": 197e12,  # v5e / "v5 lite"
-    "v4": 275e12,
-}
-
-
 def _peak_flops(device_kind: str) -> float | None:
-    kind = device_kind.lower()
-    for key, peak in _PEAK_FLOPS.items():
-        if key in kind:
-            return peak
-    return None
+    """Peak bf16 FLOP/s by TPU generation (tod_tpu.bench.mfu table)."""
+    from tod_tpu.bench.mfu import peak_flops
+
+    return peak_flops(device_kind)
 
 
 def _step_flops(engine, packed_d) -> float | None:

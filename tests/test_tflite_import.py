@@ -47,8 +47,10 @@ def test_read_conv_weights_order_and_values(tiny_tflite):
     # tflite CONV_2D kernels come back HWIO after the importer's transpose
     k1 = model.get_layer("c1").get_weights()[0]  # keras HWIO already
     np.testing.assert_allclose(convs[0].kernel, k1, rtol=1e-6)
-    kd = model.get_layer("dw").get_weights()[0]  # keras (H, W, C, 1)
-    np.testing.assert_allclose(convs[1].kernel, kd, rtol=1e-6)
+    # keras depthwise kernels are (H, W, C, 1); the importer returns the Flax
+    # feature_group layout (H, W, 1, C)
+    kd = model.get_layer("dw").get_weights()[0]
+    np.testing.assert_allclose(convs[1].kernel, kd.transpose(0, 1, 3, 2), rtol=1e-6)
     b2 = model.get_layer("c2").get_weights()[1]
     np.testing.assert_allclose(convs[2].bias, b2, rtol=1e-6)
 
@@ -58,7 +60,7 @@ def test_map_onto_flax_param_tree(tiny_tflite):
     # a Flax param tree with the same conv shapes, definition order c1→dw→c2
     params = {
         "c1": {"kernel": np.zeros((3, 3, 3, 8), np.float32), "bias": np.zeros(8, np.float32)},
-        "dw": {"kernel": np.zeros((3, 3, 8, 1), np.float32), "bias": np.zeros(8, np.float32)},
+        "dw": {"kernel": np.zeros((3, 3, 1, 8), np.float32), "bias": np.zeros(8, np.float32)},
         "c2": {"kernel": np.zeros((1, 1, 8, 4), np.float32), "bias": np.zeros(4, np.float32)},
     }
     new, report = import_tflite(path, params)
@@ -87,6 +89,134 @@ def test_quantized_weights_dequantize(tiny_tflite, tmp_path):
     np.testing.assert_allclose(got, k1, atol=np.abs(k1).max() / 100)
 
 
+def _keras_mnv2_mirror(input_hw=(48, 64), width_mult=0.35, seed=7):
+    """A keras model structurally identical to models/mobilenetv2.py (same
+    _MNV2_CFG walk, same _make_divisible widths), with RANDOM conv + BN
+    parameters (including moving stats) so the tflite converter's BN folding
+    is non-trivial.  Conv op order in the converted graph = our param-tree
+    definition order, which is what the traversal-order mapping relies on."""
+    from tod_tpu.models.mobilenetv2 import _MNV2_CFG, _make_divisible
+
+    L = tf.keras.layers
+    inp = L.Input((*input_hw, 3))
+
+    def convbn(x, feats, k, s, act=True):
+        x = L.Conv2D(feats, k, strides=s, padding="same", use_bias=False)(x)
+        x = L.BatchNormalization(momentum=0.97, epsilon=1e-5)(x)
+        return L.ReLU(max_value=6.0)(x) if act else x
+
+    def dwbn(x, s):
+        x = L.DepthwiseConv2D(3, strides=s, padding="same", use_bias=False)(x)
+        x = L.BatchNormalization(momentum=0.97, epsilon=1e-5)(x)
+        return L.ReLU(max_value=6.0)(x)
+
+    x = convbn(inp, _make_divisible(32 * width_mult), 3, 2)
+    taps = {}
+    for stage, (t, c, n, s) in enumerate(_MNV2_CFG):
+        feats = _make_divisible(c * width_mult)
+        for i in range(n):
+            stride = s if i == 0 else 1
+            cin = x.shape[-1]
+            y = x
+            if t != 1:
+                y = convbn(y, cin * t, 1, 1)
+            y = dwbn(y, stride)
+            y = convbn(y, feats, 1, 1, act=False)
+            x = L.Add()([y, x]) if (stride == 1 and cin == feats) else y
+        if stage == 2:
+            taps["c3"] = x
+        elif stage == 4:
+            taps["c4"] = x
+        elif stage == 6:
+            taps["c5"] = x
+    model = tf.keras.Model(inp, [taps["c3"], taps["c4"], taps["c5"]])
+    rng = np.random.default_rng(seed)
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        new = []
+        for j, w in enumerate(ws):
+            if isinstance(layer, tf.keras.layers.BatchNormalization) and j == 3:
+                new.append(rng.uniform(0.5, 2.0, w.shape).astype(np.float32))  # var > 0
+            else:
+                new.append(rng.normal(0, 0.3, w.shape).astype(np.float32))
+        layer.set_weights(new)
+    return model
+
+
+class TestRealTreeImport:
+    """VERDICT r3 item 7: the importer exercised against the actual
+    yolact_mnv2_fpn param tree and checked numerically against TF — not a
+    3-layer toy."""
+
+    @pytest.fixture(scope="class")
+    def mirror_blob(self, tmp_path_factory):
+        model = _keras_mnv2_mirror()
+        blob = tf.lite.TFLiteConverter.from_keras_model(model).convert()
+        path = tmp_path_factory.mktemp("tfl") / "mnv2_mirror.tflite"
+        path.write_bytes(blob)
+        return str(path), model
+
+    def test_maps_onto_flagship_backbone(self, mirror_blob):
+        """Every conv op of the converted MNv2 graph lands on the backbone
+        section of the FULL yolact param tree, in order, with nothing
+        unmapped — the 'push-button parity if the blobs appear' contract."""
+        import jax
+        import jax.numpy as jnp
+
+        from tod_tpu.core.config import ModelConfig
+        from tod_tpu.models import create_model
+
+        path, _ = mirror_blob
+        cfg = ModelConfig(
+            input_size=(48, 64), width_mult=0.35, fpn_channels=16,
+            proto_channels=16, head_channels=16, num_prototypes=8,
+        )
+        model, _ = create_model(cfg)
+        variables = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, 48, 64, 3), jnp.bfloat16), train=False)
+        )(jax.random.PRNGKey(0))
+        # jit-init trees arrive KEY-SORTED; the model pins definition order
+        new, report = import_tflite(path, variables["params"], model=model, input_hw=(48, 64))
+        assert not report["unmapped_ops"], report["unmapped_ops"]
+        # 1 stem + 2 convs (expand-1 block) + 3 × 16 remaining blocks
+        assert len(report["mapped"]) == 51, report["mapped"]
+        assert all("MobileNetV2_0" in m for m in report["mapped"]), report["mapped"][:5]
+        # FPN/heads/protonet stay untouched (the blob only carries a backbone)
+        assert all(
+            "MobileNetV2_0" not in p for p in report["unfilled_params"]
+        ), report["unfilled_params"][:5]
+
+    def test_forward_matches_tf_within_tolerance(self, mirror_blob):
+        """Imported weights through OUR backbone ≈ the keras model's own
+        inference (the converter folds BN; our BN is identity at init)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tod_tpu.models.mobilenetv2 import MobileNetV2
+        from tod_tpu.models.tflite_import import map_convs_to_params
+
+        path, keras_model = mirror_blob
+        convs = read_conv_weights(path)
+        backbone = MobileNetV2(width_mult=0.35, dtype=jnp.float32)
+        x = jnp.zeros((1, 48, 64, 3), jnp.float32)
+        variables = backbone.init(jax.random.PRNGKey(0), x, train=False)
+        new_params, report = map_convs_to_params(convs, variables["params"])
+        assert not report["unmapped_ops"] and not report["unfilled_params"], report
+        assert not report["dropped_biases"], report["dropped_biases"]
+        rng = np.random.default_rng(11)
+        xi = rng.normal(0, 1, (1, 48, 64, 3)).astype(np.float32)
+        ours = backbone.apply(
+            {**variables, "params": new_params}, jnp.asarray(xi), train=False
+        )
+        theirs = keras_model(xi, training=False)
+        for a, b in zip(ours, theirs):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = max(np.abs(b).max(), 1e-3)
+            np.testing.assert_allclose(a, b, atol=2e-3 * denom)
+
+
 @pytest.mark.skipif(not REF_BLOB.exists(), reason="reference blob stripped from mount")
 def test_reference_blob_maps_onto_flagship():
     """Push-button parity check if data/FRC_model.tflite ever appears."""
@@ -101,5 +231,7 @@ def test_reference_blob_maps_onto_flagship():
     variables = jax.jit(
         lambda k: model.init(k, jnp.zeros((1, 224, 224, 3), jnp.bfloat16), train=False)
     )(jax.random.PRNGKey(0))
-    _, report = import_tflite(str(REF_BLOB), variables["params"])
+    _, report = import_tflite(
+        str(REF_BLOB), variables["params"], model=model, input_hw=(224, 224)
+    )
     assert len(report["mapped"]) > 0

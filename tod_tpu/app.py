@@ -86,18 +86,22 @@ def main(argv=None) -> int:
         logging.info("loading checkpoint %s", ckpt)
         params = load_checkpoint(ckpt)
 
-    if args.source == "synthetic":
-        source = SyntheticSource(cam, n_frames=args.frames)
-    elif args.source == "png":
-        if not args.image:
-            raise SystemExit("--source png requires --image")
-        source = PNGSource(args.image, cam, n_frames=args.frames)
-    elif args.source == "trace":
-        if not args.trace:
-            raise SystemExit("--source trace requires --trace")
-        source = TraceSource(args.trace, loop=True, n_frames=args.frames)
-    else:
-        source = RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
+    def make_source():
+        """Fresh source per (re)start — the watchdog recovery path re-opens
+        the camera rather than re-using a wedged one."""
+        if args.source == "synthetic":
+            return SyntheticSource(cam, n_frames=args.frames)
+        if args.source == "png":
+            if not args.image:
+                raise SystemExit("--source png requires --image")
+            return PNGSource(args.image, cam, n_frames=args.frames)
+        if args.source == "trace":
+            if not args.trace:
+                raise SystemExit("--source trace requires --trace")
+            return TraceSource(args.trace, loop=True, n_frames=args.frames)
+        return RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
+
+    source = make_source()
 
     engine = Engine(cfg, params=params, mode=args.mode)
     store = PathStore()
@@ -106,17 +110,28 @@ def main(argv=None) -> int:
         stats_fn = lambda: {  # noqa: E731 — GetStat live-metrics hook
             "fps": engine.fps.fps,
             "stages": engine.timer.summary(),
+            "restarts": getattr(engine, "restarts", 0),
         }
         server_thread, server = run_in_thread(store, cfg.server, stats_fn=stats_fn)
         logging.info("path server on %s:%s", cfg.server.host, server.port)
-    from tod_tpu.runtime.watchdog import Watchdog
+    sources = [source]
+    last_source = [source]
 
-    watchdog = Watchdog(timeout_s=10.0).start()
+    def _next_source():
+        # first start consumes the already-built source; restarts open fresh
+        s = sources.pop() if sources else make_source()
+        last_source[0] = s
+        return s
+
     try:
-        metrics = engine.run(source, path_store=store, watchdog=watchdog)
+        # the supervised loop: a stalled source is detected, torn down, and
+        # replaced (bounded retries) instead of hanging the pipeline forever
+        metrics = engine.run_supervised(
+            _next_source, n_frames=args.frames, path_store=store,
+            max_restarts=3, stall_timeout_s=10.0,
+        )
     finally:
-        watchdog.stop()
-        source.close()
+        last_source[0].close()
         if server is not None:
             stop_thread_server(server)
             if server_thread is not None:

@@ -298,9 +298,9 @@ def config7_batch_throughput_mfu() -> dict:
             ca = ca[0]
         flops = float(ca["flops"])
         if on_tpu:
-            # v5e bf16 peak (public spec); other gens reported without MFU
-            kind = jax.devices()[0].device_kind.lower()
-            peak = 197e12 if "v5" in kind else None
+            from tod_tpu.bench.mfu import peak_flops
+
+            peak = peak_flops(jax.devices()[0].device_kind)
             mfu = round(flops / step_s / peak, 4) if peak else None
     except Exception:
         pass

@@ -76,6 +76,10 @@ class ModelConfig:
     # TPU-native parity mode for the reference's u8 tflite graph
     # (src/yolact.rs:172-177).  Loads the same float checkpoints.
     quantized: bool = False
+    # Whether int8 preparation also quantizes depthwise kernels.  Off by
+    # default: depthwise convs are VPU-bound (no MXU win), so quant/requant
+    # there is pure overhead; they serve in bf16 inside the int8 graph.
+    quantize_depthwise: bool = False
     # Detection post-processing
     max_detections: int = 32
     # calibrated on the pinned checkpoint's held-out scenes: true detections

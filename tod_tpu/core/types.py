@@ -120,6 +120,11 @@ class Path:
 
     ``created``     unix seconds (float; serialized as u64 seconds)
     ``directions``  list of (magnitude, rotation) f32 pairs
+    ``truncated``   True if a bounded path walk (the device planner's
+                    max_path_steps cap) cut the direction list short — the
+                    host walk is uncapped, so this flags device/host
+                    divergence instead of hiding it.  Not on the wire: the
+                    serialized format is the reference-compat contract.
 
     Wire format (src/path.rs:17-21): 8-byte big-endian unix seconds, then for each
     direction two big-endian f32s.
@@ -127,6 +132,7 @@ class Path:
 
     created: float
     directions: list[tuple[float, float]]
+    truncated: bool = False
 
     @classmethod
     def empty(cls) -> "Path":

@@ -3,17 +3,34 @@
 The reference's graph is u8-quantized end to end: every tensor in the tflite
 blob carries a (scale, zero_point) and the host dequantizes outputs with
 ``scale * (x - zero_point)`` (src/yolact.rs:172-177; 8.05 MiB u8 blob per
-data/README.md:27-32).  ``Conv8`` is the TPU-native counterpart: symmetric
-int8 weights (per output channel) × dynamically-quantized int8 activations
-(per tensor), accumulated in int32 on the MXU, dequantized to float once per
-layer.  Symmetric quantization drops the zero-points (they exist in tflite
-because u8 is unsigned); accuracy is equivalent and the MXU path stays a pure
-integer matmul.
+data/README.md:27-32) — and that u8 graph was the reference's *speed* mode,
+the reason the Edge TPU could run it at all.  ``Conv8`` is the TPU-native
+counterpart: symmetric int8 weights (per output channel) × int8 activations,
+accumulated in int32 on the MXU (v5e int8 peak is ~2× its bf16 peak),
+dequantized to float once per layer.  Symmetric quantization drops the
+zero-points (they exist in tflite because u8 is unsigned); accuracy is
+equivalent and the MXU path stays a pure integer matmul.
 
-Param names and shapes are identical to ``flax.linen.Conv`` ("kernel",
-"bias"), so any float checkpoint loads directly — quantization happens at
-apply time from the f32 weights, exactly like the weight-only PTQ in
-ops/quantize.py but extended to activations and integer accumulation.
+Three serve paths, keyed on what the param tree carries (no flags — the tree
+IS the mode, so one compiled module serves float checkpoints, prepared int8
+trees, and mixed trees):
+
+- **static int8** (fast path): the tree holds ``kernel_q`` (s8) + ``w_scale``
+  + ``act_scale``, baked once at load by models/prepare.py (BN-folded weights,
+  calibration-set activation scales).  Per forward this costs ONE elementwise
+  round/clip/cast on the activations, the s8 MXU conv, and one fused rescale —
+  no reductions, no weight quantization.
+- **float serve**: ``kernel`` stored in a non-f32 dtype (bf16) — plain conv,
+  no quantization.  prepare.py uses this for depthwise kernels, whose convs
+  are VPU-bound and gain nothing from the int8 MXU path.
+- **dynamic** (legacy/calibration): f32 ``kernel`` — weights quantized per
+  call, activations per-sample (axis 1..N amax, so a sample's scale never
+  depends on its batchmates).  Slower than bf16; kept because calibration
+  runs through it (it sows its activation amax into the ``quant_calib``
+  collection) and float checkpoints stay directly loadable.
+
+Param names and shapes at init are identical to ``flax.linen.Conv`` ("kernel",
+"bias"), so any float checkpoint loads directly.
 
 Backend selection: XLA:TPU lowers s8×s8→s32 ``conv_general_dilated`` onto the
 MXU natively; other backends (and interpret-mode tests) use a float-simulated
@@ -64,14 +81,56 @@ class Conv8(nn.Module):
     param_dtype: Any = jnp.float32
     native_int8: bool | None = None  # None = auto (TPU yes, else float-sim)
 
+    def _conv(self, x, kernel, strides, preferred=None):
+        kw = dict(
+            window_strides=strides,
+            padding=self.padding,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if preferred is not None:
+            kw["preferred_element_type"] = preferred
+        return jax.lax.conv_general_dilated(x, kernel, **kw)
+
     @nn.compact
     def __call__(self, x):
-        kh, kw = self.kernel_size
+        strides = (
+            (self.strides, self.strides) if isinstance(self.strides, int) else tuple(self.strides)
+        )
+        native = self.native_int8
+        if native is None:
+            native = _int8_conv_supported()
+
+        # --- static int8 fast path: prepared tree (models/prepare.py) -------
+        if self.has_variable("params", "kernel_q"):
+            wq = self.get_variable("params", "kernel_q")  # (kh,kw,cin,cout) s8
+            sw = self.get_variable("params", "w_scale")  # (cout,) f32
+            sx = self.get_variable("params", "act_scale")  # () f32, calibrated
+            bias = (
+                self.get_variable("params", "bias") if self.use_bias else None
+            )
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127, 127
+            ).astype(jnp.int8)
+            if native:
+                acc = self._conv(xq, wq, strides, preferred=jnp.int32).astype(
+                    jnp.float32
+                )
+            else:
+                acc = self._conv(
+                    xq.astype(jnp.float32), wq.astype(jnp.float32), strides
+                )
+            y = acc * (sx * sw.reshape(1, 1, 1, -1))
+            if bias is not None:
+                y = y + bias
+            return y.astype(self.dtype)
+
+        kh, kw_ = self.kernel_size
         cin = x.shape[-1] // self.feature_group_count
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (kh, kw, cin, self.features),
+            (kh, kw_, cin, self.features),
             self.param_dtype,
         )
         bias = (
@@ -79,37 +138,39 @@ class Conv8(nn.Module):
             if self.use_bias
             else None
         )
-        strides = (
-            (self.strides, self.strides) if isinstance(self.strides, int) else tuple(self.strides)
-        )
 
-        wq, sw = quantize_symmetric(kernel.astype(jnp.float32), axis=(0, 1, 2))  # (1,1,1,Cout)
-        xq, sx = quantize_symmetric(x.astype(jnp.float32), axis=None)  # per-tensor
+        # --- float serve path: non-f32 kernel = "serve as-is" marker --------
+        if kernel.dtype != jnp.float32:
+            y = self._conv(x.astype(kernel.dtype), kernel, strides)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y.astype(self.dtype)
 
-        native = self.native_int8
-        if native is None:
-            native = _int8_conv_supported()
+        # --- dynamic path (legacy + calibration) ----------------------------
+        wq, sw = quantize_symmetric(kernel, axis=(0, 1, 2))  # (1,1,1,Cout)
+        # per-sample activation scales: amax over each image's own axes only,
+        # so batched eval matches batch-1 serving bit-for-bit (a global amax
+        # made a sample's quantization depend on its batchmates)
+        xf = x.astype(jnp.float32)
+        sample_axes = tuple(range(1, xf.ndim))
+        xq, sx = quantize_symmetric(xf, axis=sample_axes)  # (B,1,1,1)
+        # calibration hook: running per-layer activation amax, max-reduced
+        # across calls (only records when "quant_calib" is mutable).  Guarded
+        # out of init so float/quantized inits create identical trees.
+        if not self.is_initializing():
+            self.sow(
+                "quant_calib",
+                "amax",
+                jnp.max(jnp.abs(xf)),
+                init_fn=lambda: jnp.float32(0.0),
+                reduce_fn=jnp.maximum,
+            )
         if native:
-            acc = jax.lax.conv_general_dilated(
-                xq,
-                wq,
-                window_strides=strides,
-                padding=self.padding,
-                feature_group_count=self.feature_group_count,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            acc = self._conv(xq, wq, strides, preferred=jnp.int32).astype(jnp.float32)
         else:
             # float-simulated integer conv: same quantized values, f32 accum
-            acc = jax.lax.conv_general_dilated(
-                xq.astype(jnp.float32),
-                wq.astype(jnp.float32),
-                window_strides=strides,
-                padding=self.padding,
-                feature_group_count=self.feature_group_count,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-        y = acc * (sx * sw.reshape(1, 1, 1, -1))
+            acc = self._conv(xq.astype(jnp.float32), wq.astype(jnp.float32), strides)
+        y = acc * (sx * sw)
         if bias is not None:
             y = y + bias
         return y.astype(self.dtype)

@@ -73,35 +73,69 @@ def read_conv_weights(path: str) -> list[ConvWeights]:
         if name == "CONV_2D":
             kernel = np.transpose(kernel, (1, 2, 3, 0))  # OHWI → HWIO
         elif name == "DEPTHWISE_CONV_2D":
-            # tflite depthwise kernels are (1, H, W, I·mult); Flax feature_group
-            # convs want HWIO with O = mult (HW I O after the transpose chain)
+            # tflite depthwise kernels are (1, H, W, C) with the channel on the
+            # LAST axis; a Flax feature_group_count=C conv wants HWIO =
+            # (H, W, 1, C) (cin-per-group 1, cout C — see the (3,3,1,8) kernel
+            # in models/mobilenetv2.py's depthwise ConvBN).  Depth multipliers
+            # >1 are not used by this model family.
             _, h, w, c = kernel.shape
-            kernel = kernel.reshape(h, w, c, 1)
+            kernel = kernel.reshape(h, w, c)[:, :, None, :]
         else:  # FULLY_CONNECTED (O, I) → (I, O)
             kernel = kernel.T
         out.append(ConvWeights(op_index=i, op_name=name, kernel=kernel, bias=bias))
     return out
 
 
-def _flatten_conv_params(params: Any, prefix: str = "") -> list[tuple[str, dict]]:
-    """Depth-first list of ``{'kernel': ..., ('bias': ...)}`` conv param dicts."""
-    found: list[tuple[str, dict]] = []
+def _flatten_conv_params(
+    params: Any, prefix: str = "", parent: dict | None = None
+) -> list[tuple[str, dict, dict | None]]:
+    """Depth-first list of (path, conv param dict, parent dict) triples.
+
+    The parent dict is the module level holding the conv — where a sibling
+    ``BatchNorm_0`` lives for ConvBN blocks (bias redirection below)."""
+    found: list[tuple[str, dict, dict | None]] = []
     if isinstance(params, dict):
         if "kernel" in params and hasattr(params["kernel"], "shape"):
-            found.append((prefix.rstrip("/"), params))
+            found.append((prefix.rstrip("/"), params, parent))
             return found
         for k in params:  # flax FrozenDict preserves insertion = definition order
-            found.extend(_flatten_conv_params(params[k], f"{prefix}{k}/"))
+            found.extend(_flatten_conv_params(params[k], f"{prefix}{k}/", params))
     return found
 
 
-def map_convs_to_params(convs: list[ConvWeights], params: Any) -> tuple[Any, dict]:
+def conv_order_from_model(model, input_hw: tuple[int, int] = (64, 64)) -> list[str]:
+    """Module-DEFINITION-ordered conv param paths for a Flax model.
+
+    A plain (unjitted) ``model.init`` builds its dict in module creation
+    order; any pytree round trip (``jax.jit``, orbax restore, eval_shape)
+    returns KEY-SORTED dicts instead, which scrambles traversal order
+    ("InvertedResidual_10" < "InvertedResidual_2", "FPN_0" < "MobileNetV2_0")
+    and silently breaks order-based weight mapping.  This recovers the true
+    order once, cheaply, from the model itself.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *input_hw, 3), jnp.float32), train=False
+    )
+    return [name for name, _, _ in _flatten_conv_params(v["params"])]
+
+
+def map_convs_to_params(
+    convs: list[ConvWeights], params: Any, order: list[str] | None = None
+) -> tuple[Any, dict]:
     """Assign imported conv weights onto a param tree by order + exact shape.
 
     Greedy in-order matching: each imported conv claims the first remaining
     param conv whose kernel shape matches exactly.  Returns (new_params,
     report) where report lists mapped/unmapped entries — architecture drift
     shows up as unmapped ops, not silent corruption.
+
+    ``order`` (from :func:`conv_order_from_model`) fixes the slot traversal
+    order explicitly.  Without it, the GIVEN tree's iteration order is used —
+    correct only for trees that never crossed a pytree round trip (jit /
+    checkpoint restore key-sorts dicts; see conv_order_from_model).
     """
     # NOTE: not jax.tree_map — jax pytree flattening SORTS dict keys, which
     # would scramble definition order (e.g. "block_10" < "block_2"); the
@@ -113,8 +147,17 @@ def map_convs_to_params(convs: list[ConvWeights], params: Any) -> tuple[Any, dic
 
     params = _copy(params)
     slots = _flatten_conv_params(params)
+    if order is not None:
+        by_path = {name: (slot, par) for name, slot, par in slots}
+        missing = [p for p in order if p not in by_path]
+        if missing or len(order) != len(slots):
+            raise ValueError(
+                f"order/tree mismatch: {len(order)} ordered paths vs "
+                f"{len(slots)} tree convs; missing {missing[:3]}"
+            )
+        slots = [(p, *by_path[p]) for p in order]
     taken = [False] * len(slots)
-    mapped, unmapped = [], []
+    mapped, unmapped, dropped_biases = [], [], []
     cursor = 0
     for cw in convs:
         hit = None
@@ -125,10 +168,30 @@ def map_convs_to_params(convs: list[ConvWeights], params: Any) -> tuple[Any, dic
         if hit is None:
             unmapped.append(f"{cw.op_name}@{cw.op_index} kernel{cw.kernel.shape}")
             continue
-        name, slot = slots[hit]
+        name, slot, parent = slots[hit]
         slot["kernel"] = cw.kernel.astype(slot["kernel"].dtype)
-        if cw.bias is not None and "bias" in slot and slot["bias"].shape == cw.bias.shape:
-            slot["bias"] = cw.bias.astype(slot["bias"].dtype)
+        if cw.bias is not None:
+            if "bias" in slot and slot["bias"].shape == cw.bias.shape:
+                slot["bias"] = cw.bias.astype(slot["bias"].dtype)
+            else:
+                # ConvBN blocks: the conv is use_bias=False, but the tflite
+                # converter FOLDS BatchNorm into (kernel, bias) — dropping the
+                # bias here silently zeroes β−γμ/σ and collapses the network.
+                # Route it into the sibling BatchNorm's β instead; with the
+                # destination BN at identity (a fresh init — the expected
+                # target for importing a pre-folded graph), the result is
+                # exactly conv+bias.
+                bn = (parent or {}).get("BatchNorm_0")
+                if (
+                    isinstance(bn, dict)
+                    and "bias" in bn
+                    and bn["bias"].shape == cw.bias.shape
+                ):
+                    bn["bias"] = (
+                        np.asarray(bn["bias"], np.float32) + cw.bias
+                    ).astype(np.float32)
+                else:
+                    dropped_biases.append(name)
         taken[hit] = True
         cursor = hit + 1  # preserve graph order: later ops map to later convs
         mapped.append(f"{cw.op_name}@{cw.op_index} → {name}")
@@ -136,10 +199,19 @@ def map_convs_to_params(convs: list[ConvWeights], params: Any) -> tuple[Any, dic
         "mapped": mapped,
         "unmapped_ops": unmapped,
         "unfilled_params": [slots[j][0] for j in range(len(slots)) if not taken[j]],
+        "dropped_biases": dropped_biases,
     }
     return params, report
 
 
-def import_tflite(path: str, params: Any) -> tuple[Any, dict]:
-    """Full pipeline: read conv weights from ``path`` and map onto ``params``."""
-    return map_convs_to_params(read_conv_weights(path), params)
+def import_tflite(
+    path: str, params: Any, model=None, input_hw: tuple[int, int] = (64, 64)
+) -> tuple[Any, dict]:
+    """Full pipeline: read conv weights from ``path`` and map onto ``params``.
+
+    Pass ``model`` whenever available: it pins the slot traversal to true
+    module-definition order (conv_order_from_model), making the mapping
+    correct for jit-initialized / checkpoint-restored trees whose dict keys
+    arrive sorted."""
+    order = None if model is None else conv_order_from_model(model, input_hw)
+    return map_convs_to_params(read_conv_weights(path), params, order=order)

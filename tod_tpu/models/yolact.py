@@ -99,22 +99,21 @@ class Yolact(nn.Module):
         )
 
 
-def detect(
-    outputs: YolactOutputs,
+def _detect_sample(
+    loc,
+    conf_logits,
+    coeff_all,
+    protos,
     cfg: ModelConfig,
     anchors,
-    out_hw: tuple[int, int] | None = None,
-    use_pallas: bool = True,
+    out_hw: tuple[int, int],
+    use_pallas: bool,
 ) -> Detections:
-    """Head outputs → fixed-shape Detections for one image (batch element 0).
+    """Per-sample detection cleanup (the vmappable core of :func:`detect`).
 
-    The whole path is jnp (jit-safe, static shapes): decode → softmax → Fast-NMS
-    → mask assembly (+crop/threshold) → per-pixel class/id maps.  The mask
-    GEMM+crop+threshold runs as a fused Pallas kernel when ``use_pallas``.
+    loc (A, 4), conf_logits (A, C), coeff_all (A, K), protos (Hm, Wm, K).
     """
-    out_hw = out_hw or cfg.input_size
-    loc = outputs.loc[0]
-    conf = jax.nn.softmax(outputs.conf[0], axis=-1)
+    conf = jax.nn.softmax(conf_logits, axis=-1)
     boxes_all = decode_boxes(loc, anchors)
     boxes, scores, classes, keep_idx, valid = fast_nms(
         boxes_all,
@@ -124,8 +123,7 @@ def detect(
         max_detections=cfg.max_detections,
         score_threshold=cfg.score_threshold,
     )
-    coeffs = outputs.coeff[0][keep_idx]  # (N, K)
-    protos = outputs.prototypes[0]  # (Hm, Wm, K)
+    coeffs = coeff_all[keep_idx]  # (N, K)
     if use_pallas:
         from tod_tpu.kernels.mask_assembly import assemble_crop_masks
 
@@ -157,6 +155,52 @@ def detect(
         valid=valid,
         class_map=class_map,
         id_map=ball_ids,
+    )
+
+
+def detect(
+    outputs: YolactOutputs,
+    cfg: ModelConfig,
+    anchors,
+    out_hw: tuple[int, int] | None = None,
+    use_pallas: bool = True,
+) -> Detections:
+    """Head outputs → fixed-shape Detections for one image (batch element 0).
+
+    The whole path is jnp (jit-safe, static shapes): decode → softmax → Fast-NMS
+    → mask assembly (+crop/threshold) → per-pixel class/id maps.  The mask
+    GEMM+crop+threshold runs as a fused Pallas kernel when ``use_pallas``.
+    """
+    out_hw = out_hw or cfg.input_size
+    return _detect_sample(
+        outputs.loc[0],
+        outputs.conf[0],
+        outputs.coeff[0],
+        outputs.prototypes[0],
+        cfg,
+        anchors,
+        out_hw,
+        use_pallas,
+    )
+
+
+def detect_batch(
+    outputs: YolactOutputs,
+    cfg: ModelConfig,
+    anchors,
+    out_hw: tuple[int, int] | None = None,
+) -> Detections:
+    """Batched detection cleanup: vmap of the per-sample core — every field of
+    the returned Detections gains a leading batch axis.  The DP serving path
+    (parallel/serving.py) runs this on dp-sharded batches; the per-sample jnp
+    path is used (the Pallas mask kernel does not lower under vmap)."""
+    out_hw = out_hw or cfg.input_size
+
+    def _one(loc, conf, coeff, protos):
+        return _detect_sample(loc, conf, coeff, protos, cfg, anchors, out_hw, False)
+
+    return jax.vmap(_one)(
+        outputs.loc, outputs.conf, outputs.coeff, outputs.prototypes
     )
 
 

@@ -138,10 +138,18 @@ def materialize_path(plan_dev) -> Path:
     """Read back a dispatched device plan (ONE ~8 KB transfer) into a Path."""
     buf = np.asarray(plan_dev)
     n = int(buf[0, 0])
+    truncated = bool(buf[0, 1] > 0)
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "device plan truncated at %d steps (PlannerConfig.max_path_steps)", n
+        )
     dirs = buf[1 : 1 + n]
     return Path(
         created=time.time(),
         directions=[(float(m), float(r)) for m, r in dirs],
+        truncated=truncated,
     )
 
 

@@ -173,11 +173,15 @@ def plan_on_device(
     cur, _, out, n = jax.lax.fori_loop(0, max_steps, body, init)
     n = jnp.where(reached, n, 0)
     out = jnp.where(reached, out, jnp.zeros_like(out))
-    # Single-buffer result: row 0 carries (n_valid, 0), rows 1.. the
+    # Truncation flag: the walk ran out of steps while still mid-path (the
+    # final node has a next hop).  The host walk is uncapped, so without this
+    # a too-long path would silently diverge between backends (ADVICE r2).
+    truncated = reached & (nd_flat[cur] >= 0)
+    # Single-buffer result: row 0 carries (n_valid, truncated), rows 1.. the
     # directions — ONE device→host readback materializes the whole plan
     # (each round trip on a remote transport costs tens of ms regardless of
     # size; a separate scalar read for n doubled the plan latency).
-    header = jnp.stack([n.astype(jnp.float32), jnp.float32(0.0)])[None, :]
+    header = jnp.stack([n.astype(jnp.float32), truncated.astype(jnp.float32)])[None, :]
     return jnp.concatenate([header, out], axis=0)
 
 

@@ -46,11 +46,16 @@ class StageTimer:
             "mean_ms": float(xs.mean() * 1e3),
             "p50_ms": float(np.percentile(xs, 50) * 1e3),
             "p90_ms": float(np.percentile(xs, 90) * 1e3),
+            "p99_ms": float(np.percentile(xs, 99) * 1e3),
             "max_ms": float(xs.max() * 1e3),
         }
 
     def summary(self) -> dict:
         return {k: self.stats(k) for k in self.samples}
+
+    def reset(self) -> None:
+        """Drop all samples (bench sweeps re-use one Engine across settings)."""
+        self.samples.clear()
 
 
 class FPSMeter:

@@ -11,8 +11,10 @@ from tod_tpu.train.evaluate import box_iou
 class TestBenchRegistry:
     def test_configs_registered(self):
         # 1-5 = BASELINE.json configs; 6 = VGA streaming (the reference's
-        # native 640x480, src/scene.rs:36-37); 7 = batch throughput + MFU
-        assert sorted(CONFIGS) == [1, 2, 3, 4, 5, 6, 7]
+        # native 640x480, src/scene.rs:36-37); 7 = batch throughput + MFU;
+        # 8 = latency-bounded serving sweep; 9 = multi-chip DP serving;
+        # 10 = int8 vs bf16 serve step
+        assert sorted(CONFIGS) == list(range(1, 11))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -20,7 +22,18 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "9"])
+            main(["--config", "11"])
+
+    def test_peak_flops_table(self):
+        from tod_tpu.bench.mfu import peak_flops
+
+        # v5p must NOT fall into the v5e bucket (ADVICE r2: ~2.3x MFU error)
+        assert peak_flops("TPU v5 lite") == 197e12
+        assert peak_flops("TPU v5p") == 459e12
+        assert peak_flops("TPU v5p", "int8") == 918e12
+        assert peak_flops("TPU v4") == 275e12
+        assert peak_flops("TPU v6e", "int8") == 1836e12
+        assert peak_flops("Quantum X100") is None
 
 
 class TestBoxIoU:

@@ -46,14 +46,21 @@ class TestYolactGraph:
         assert out.prototypes.shape == (1, 32, 40, TINY.num_prototypes)
         assert out.sem_logits.shape == (1, 16, 20, TINY.num_classes)
 
-    def test_coeff_tanh_bounded(self, tiny_model):
-        model, _, params = tiny_model
+    def test_coeff_raw_logits_tanh_after_gather(self, tiny_model):
+        """outputs.coeff is RAW logits (tanh moved after the top-k gather —
+        tanh∘gather == gather∘tanh, so the pinned checkpoint is unchanged);
+        the detect path must produce tanh-bounded coefficients."""
+        model, anchors, params = tiny_model
         x = jax.random.normal(jax.random.PRNGKey(1), (1, *TINY.input_size, 3)).astype(
             jnp.bfloat16
         )
         out = model.apply(params, x, train=False)
-        c = np.asarray(out.coeff)
-        assert (c >= -1).all() and (c <= 1).all()
+        assert out.coeff.dtype == jnp.bfloat16  # compute dtype, pre-tanh
+        from tod_tpu.models.yolact import _detect_sample
+
+        dets_coeff = jnp.tanh(out.coeff[0].astype(jnp.float32))
+        assert (np.asarray(dets_coeff) >= -1).all()
+        assert (np.asarray(dets_coeff) <= 1).all()
 
     def test_detect_static_shapes(self, tiny_model):
         model, anchors, params = tiny_model

@@ -1,11 +1,18 @@
-"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Equivalence tolerances (VERDICT r2 weak #5): comparisons run the model in
+float32, where sharding must be reproduction-exact up to reassociation —
+loose 2e-2 bands could hide a dropped psum term.  DP batch partitioning is
+per-sample-identical math, so it is gated essentially exactly (1e-6)."""
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tod_tpu.core.config import ModelConfig, TrainConfig
+from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig, TrainConfig
 from tod_tpu.parallel import make_mesh, param_sharding_tree, spatial_sharded_forward
 from tod_tpu.train import SyntheticDetectionData, Trainer
 
@@ -17,6 +24,8 @@ TINY = ModelConfig(
     width_mult=0.35,
     num_prototypes=8,
 )
+# f32 variant for tight equivalence gates
+TINY32 = dataclasses.replace(TINY, dtype="float32")
 TTRAIN = TrainConfig(batch_size=8, warmup_steps=2, total_steps=10)
 
 
@@ -44,6 +53,7 @@ class TestMesh:
         sh = param_sharding_tree(tree, m)
         assert "tp" in str(sh["conv"].spec)
         assert sh["bias"].spec == jax.sharding.PartitionSpec()
+        # non-divisible cout falls back to replication, never a shard error
         assert sh["odd"].spec == jax.sharding.PartitionSpec()
 
 
@@ -52,24 +62,50 @@ class TestShardedTraining:
     def test_dp_tp_train_step_runs_and_matches_single(self, tp):
         _require_8()
         mesh = make_mesh(8, tp=tp)
-        t_sharded = Trainer(TINY, TTRAIN, mesh=mesh)
-        t_single = Trainer(TINY, TTRAIN)
-        data = SyntheticDetectionData(TINY.input_size, batch_size=8, seed=3)
+        t_sharded = Trainer(TINY32, TTRAIN, mesh=mesh)
+        t_single = Trainer(TINY32, TTRAIN)
+        data = SyntheticDetectionData(TINY32.input_size, batch_size=8, seed=3)
         batch = {k: jnp.asarray(v) for k, v in data.next_batch().items()}
         s1, m1 = t_sharded._step(t_sharded.state, batch)
         s2, m2 = t_single._step(t_single.state, batch)
-        # same init seed + same batch → same loss regardless of sharding
-        np.testing.assert_allclose(
-            float(m1["loss"]), float(m2["loss"]), rtol=2e-2
-        )
+        # same init seed + same batch → same loss; f32 leaves only
+        # reassociation noise, so a dropped psum term cannot hide
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+
+    def test_nondivisible_widths_still_shard(self):
+        """Flagship-width hazard (VERDICT r2 item 4): channel counts that tp
+        does NOT divide (prototypes 7 → proto_out cout 7) must replicate and
+        train, not error or corrupt."""
+        _require_8()
+        mesh = make_mesh(8, tp=2)
+        odd = dataclasses.replace(TINY32, num_prototypes=7)
+        t = Trainer(odd, TTRAIN, mesh=mesh)
+        data = SyntheticDetectionData(odd.input_size, batch_size=8, seed=5)
+        batch = {k: jnp.asarray(v) for k, v in data.next_batch().items()}
+        _, m = t._step(t.state, batch)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_flagship_widths_train_step_compiles_sharded(self):
+        """128-channel FPN / 9-anchor heads through the dp×tp sharded train
+        step (AOT compile — the divisibility/propagation surface; spatial size
+        kept small for CPU compile time; the driver dryrun covers the full
+        256×320 flagship)."""
+        _require_8()
+        mesh = make_mesh(8, tp=2)
+        flagw = ModelConfig(input_size=(64, 80))  # flagship widths, small map
+        tcfg = TrainConfig(batch_size=4, warmup_steps=1, total_steps=2)
+        trainer = Trainer(flagw, tcfg, mesh=mesh)
+        data = SyntheticDetectionData(flagw.input_size, batch_size=4, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in data.next_batch().items()}
+        trainer._step.lower(trainer.state, batch).compile()
 
     def test_spatial_partitioned_forward(self):
         _require_8()
         mesh = make_mesh(8, tp=1)
         from tod_tpu.models.yolact import create_model
 
-        model, _ = create_model(TINY)
-        x = jnp.zeros((1, *TINY.input_size, 3), jnp.bfloat16)
+        model, _ = create_model(TINY32)
+        x = jnp.zeros((1, *TINY32.input_size, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
         def apply_fn(v, imgs):
@@ -78,23 +114,19 @@ class TestShardedTraining:
         fwd = spatial_sharded_forward(apply_fn, mesh)
         out_sp = fwd(variables, x)
         out_ref = apply_fn(variables, x)
-        np.testing.assert_allclose(
-            np.asarray(out_sp), np.asarray(out_ref), atol=2e-2
-        )
+        a, b = np.asarray(out_sp), np.asarray(out_ref)
+        np.testing.assert_allclose(a, b, atol=1e-4 * max(np.abs(b).max(), 1.0))
 
 
 class TestShardedInference:
     def test_dp_batched_inference(self):
         _require_8()
-        import jax.numpy as jnp
-
         from tod_tpu.models.yolact import create_model
-        from tod_tpu.parallel import make_mesh
         from tod_tpu.parallel.sharding import shard_inference
 
         mesh = make_mesh(8, tp=1)
-        model, _ = create_model(TINY)
-        x1 = jnp.zeros((1, *TINY.input_size, 3), jnp.bfloat16)
+        model, _ = create_model(TINY32)
+        x1 = jnp.zeros((1, *TINY32.input_size, 3), jnp.float32)
         variables = jax.jit(lambda k: model.init(k, x1, train=False))(
             jax.random.PRNGKey(0)
         )
@@ -103,10 +135,46 @@ class TestShardedInference:
             return model.apply(v, imgs, train=False).loc
 
         jitted = shard_inference(fwd, mesh)(variables)
-        xb = jnp.zeros((8, *TINY.input_size, 3), jnp.bfloat16)
+        rng = np.random.default_rng(2)
+        xb = jnp.asarray(rng.normal(0, 1, (8, *TINY32.input_size, 3)).astype(np.float32))
         out = jitted(variables, xb)
         assert out.shape[0] == 8
         ref = fwd(variables, xb)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), atol=2e-2
+        a, b = np.asarray(out), np.asarray(ref)
+        # batch partitioning = per-sample-identical math: essentially exact
+        np.testing.assert_allclose(a, b, atol=1e-6 * max(np.abs(b).max(), 1.0))
+
+    def test_dp_batch_server_matches_unsharded(self):
+        """The SERVING path (parallel/serving.DPBatchServer): dp-sharded
+        preprocess+forward+detect vs the same graph unsharded, f32, ≤1e-6 —
+        the VERDICT r2 item 5 equivalence gate."""
+        _require_8()
+        from tod_tpu.models.yolact import create_model, detect_batch
+        from tod_tpu.ops.preprocess import normalize, resize_triangle
+        from tod_tpu.parallel.serving import DPBatchServer
+
+        cam = CameraConfig(width=64, height=48)
+        cfg = PipelineConfig(camera=cam, model=TINY32)
+        mesh = make_mesh(8, tp=1)
+        srv = DPBatchServer(cfg, mesh)
+        rng = np.random.default_rng(4)
+        rgb = rng.integers(0, 255, (8, 48, 64, 3), np.uint8)
+        dets = srv.serve(rgb)
+
+        model, anchors = create_model(TINY32)
+
+        def unsharded(p, rgb_b):
+            x = normalize(resize_triangle(rgb_b, TINY32.input_size), jnp.float32)
+            out = model.apply(p, x, train=False)
+            return detect_batch(out, TINY32, anchors, out_hw=(48, 64))
+
+        ref = jax.jit(unsharded)(srv.params, jnp.asarray(rgb))
+        for field in ("boxes", "scores", "masks"):
+            a = np.asarray(getattr(dets, field))
+            b = np.asarray(getattr(ref, field))
+            np.testing.assert_allclose(
+                a, b, atol=1e-6 * max(np.abs(b).max(), 1.0), err_msg=field
+            )
+        np.testing.assert_array_equal(
+            np.asarray(dets.class_map), np.asarray(ref.class_map)
         )

@@ -43,15 +43,20 @@ class PredictionHead(nn.Module):
         x = nn.relu(conv(self.channels, "tower")(p))
         b, h, w, _ = x.shape
         a = self.num_anchors
-        loc = conv(a * 4, "loc")(x).astype(jnp.float32).reshape(b, h * w * a, 4)
-        conf = (
-            conv(a * self.num_classes, "conf")(x)
-            .astype(jnp.float32)
-            .reshape(b, h * w * a, self.num_classes)
+        # Head assembly stays in the compute dtype (bf16): profiling the
+        # batch-16 VGA forward showed ~1/3 of step time in pure data movement,
+        # half of it f32 reshape/copy/concat of these per-anchor maps
+        # (docs/performance.md).  The f32 cast happens once, after the
+        # cross-level concat (models/yolact.py).  coeff is returned as RAW
+        # logits — tanh is applied by consumers AFTER their top-k/positive
+        # gather (≤64 anchors), not over all ~57k anchors per frame.
+        loc = conv(a * 4, "loc")(x).reshape(b, h * w * a, 4)
+        conf = conv(a * self.num_classes, "conf")(x).reshape(
+            b, h * w * a, self.num_classes
         )
-        coeff = jnp.tanh(
-            conv(a * self.num_prototypes, "coeff")(x).astype(jnp.float32)
-        ).reshape(b, h * w * a, self.num_prototypes)
+        coeff = conv(a * self.num_prototypes, "coeff")(x).reshape(
+            b, h * w * a, self.num_prototypes
+        )
         return loc, conf, coeff
 
 

@@ -35,13 +35,18 @@ from tod_tpu.ops.nms import fast_nms
 
 @dataclasses.dataclass
 class YolactOutputs:
-    """Raw head outputs for one batch (all f32)."""
+    """Raw head outputs for one batch.
 
-    loc: Any  # (B, A, 4)
-    conf: Any  # (B, A, C)
-    coeff: Any  # (B, A, K)
-    prototypes: Any  # (B, H/4, W/4, K)
-    sem_logits: Any  # (B, H/8, W/8, C)
+    loc/conf are f32; ``coeff`` is RAW logits in the compute dtype (bf16) —
+    consumers apply tanh after their top-k/positive-anchor gather, so the
+    full-anchor-map tanh + f32 materialization never happens (it was ~2.5 ms
+    of the 11.5 ms batch-16 VGA forward; docs/performance.md)."""
+
+    loc: Any  # (B, A, 4) f32
+    conf: Any  # (B, A, C) f32
+    coeff: Any  # (B, A, K) compute dtype, raw logits (pre-tanh)
+    prototypes: Any  # (B, H/4, W/4, K) f32
+    sem_logits: Any  # (B, H/8, W/8, C) f32
 
 
 jax.tree_util.register_dataclass(YolactOutputs)
@@ -90,9 +95,12 @@ class Yolact(nn.Module):
         sem = SemanticHead(num_classes=cfg.num_classes, dtype=dtype, quantized=q)(
             pyramid[0]
         )
+        # concat in the compute dtype (the dominant data movement), one f32
+        # convert at the end for loc/conf; coeff stays raw/bf16 (see
+        # YolactOutputs docstring)
         return YolactOutputs(
-            loc=jnp.concatenate(locs, axis=1),
-            conf=jnp.concatenate(confs, axis=1),
+            loc=jnp.concatenate(locs, axis=1).astype(jnp.float32),
+            conf=jnp.concatenate(confs, axis=1).astype(jnp.float32),
             coeff=jnp.concatenate(coeffs, axis=1),
             prototypes=prototypes,
             sem_logits=sem,
@@ -123,7 +131,9 @@ def _detect_sample(
         max_detections=cfg.max_detections,
         score_threshold=cfg.score_threshold,
     )
-    coeffs = coeff_all[keep_idx]  # (N, K)
+    # gather FIRST, tanh after: only the kept ≤N anchors need the
+    # nonlinearity (coeff_all is raw logits — YolactOutputs docstring)
+    coeffs = jnp.tanh(coeff_all[keep_idx].astype(jnp.float32))  # (N, K)
     if use_pallas:
         from tod_tpu.kernels.mask_assembly import assemble_crop_masks
 

@@ -82,7 +82,11 @@ def mask_loss(prototypes, coeff, matched_gt, pos_mask, iou_quality, gt_masks, gt
     _, idx = jax.lax.top_k(score, max_masks)  # anchor indices
     sel_valid = pos_mask[idx]
     sel_gt = jnp.clip(matched_gt[idx], 0, m - 1)
-    masks = assemble_masks(prototypes, coeff[idx])  # (max_masks, Hm, Wm)
+    # coeff arrives as raw logits (YolactOutputs contract); tanh after the
+    # top-positives gather — max_masks anchors, not the full anchor map
+    masks = assemble_masks(
+        prototypes, jnp.tanh(coeff[idx].astype(jnp.float32))
+    )  # (max_masks, Hm, Wm)
     targets = gt_masks[sel_gt]
     bce = -(
         targets * jnp.log(jnp.clip(masks, 1e-6, 1.0))

@@ -92,6 +92,22 @@ def main() -> None:
         runs.append(engine.run(source, path_store=None, plan_paths=True, warmup=False))
     metrics = max(runs, key=lambda m: m["fps"])
     metrics["compile_s"] = compile_s
+    lat_unbounded = engine.timer.stats("latency")
+    plan_unbounded = engine.timer.stats("plan")
+
+    # Latency-BOUNDED serving mode (the robot-control deployment): dispatch
+    # depth capped at 2 and the fused frame+plan graph dispatched in-stream
+    # every 4 frames — fresh paths and one-camera-frame p50 instead of peak
+    # FPS.  Recorded alongside the throughput headline; the full trade curve
+    # is bench config 8.
+    engine.timer.reset()
+    source = SyntheticSource(cam, seed=0, n_frames=n_frames)
+    bounded = engine.run(
+        source, path_store=None, plan_paths=True, warmup=False,
+        max_inflight=2, plan_every=4,
+    )
+    lat_bounded = engine.timer.stats("latency")
+    plan_bounded = engine.timer.stats("plan")
 
     # Pure device step time + MFU, honestly: K steps SERIALIZED inside one
     # fori_loop via an opaque data dependency (each iteration's input depends
@@ -130,7 +146,7 @@ def main() -> None:
     )
 
     fps = metrics["fps"]
-    lat = engine.timer.stats("latency")  # true dispatch→ready order statistics
+    lat = lat_unbounded  # true dispatch→ready order statistics
     frame_stats = engine.timer.stats("frame")
     result = {
         "metric": "fps_e2e_320x240_b1",
@@ -139,7 +155,11 @@ def main() -> None:
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "p50_frame_ms": lat.get("p50_ms", frame_stats.get("p50_ms")),
         "p90_frame_ms": lat.get("p90_ms"),
-        "plan_p50_ms": engine.timer.stats("plan").get("p50_ms"),
+        "plan_p50_ms": plan_unbounded.get("p50_ms"),
+        "bounded_fps": round(bounded["fps"], 3),
+        "bounded_p50_ms": lat_bounded.get("p50_ms"),
+        "bounded_p99_ms": lat_bounded.get("p99_ms"),
+        "bounded_plan_p50_ms": plan_bounded.get("p50_ms"),
         "device_step_ms": round(device_step_ms, 3),
         "mfu": mfu,
         "step_gflops": round(flops / 1e9, 2) if flops else None,

@@ -40,6 +40,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--int8", action="store_true",
         help="int8 end-to-end inference (the reference's u8-graph parity mode)",
     )
+    p.add_argument(
+        "--max-inflight", type=int, default=2, metavar="N",
+        help="bound the dispatch queue to N frames (fresh-path latency mode; "
+        "0 = unbounded peak-throughput mode)",
+    )
+    p.add_argument(
+        "--plan-every", type=int, default=4, metavar="N",
+        help="dispatch the fused frame+plan graph every N frames "
+        "(path staleness bound; 0 = plan only at batch sync points)",
+    )
     p.add_argument("--debug-dump", action="store_true", help="write map.bmp etc. per run")
     p.add_argument("--metrics-json", action="store_true", help="print metrics as JSON at exit")
     return p
@@ -129,6 +139,8 @@ def main(argv=None) -> int:
         metrics = engine.run_supervised(
             _next_source, n_frames=args.frames, path_store=store,
             max_restarts=3, stall_timeout_s=10.0,
+            max_inflight=args.max_inflight or None,
+            plan_every=args.plan_every or None,
         )
     finally:
         last_source[0].close()

@@ -48,8 +48,12 @@ class FPN(nn.Module):
 
 
 def _upsample_to(x, target_shape):
-    """Bilinear upsample to the target spatial shape (the RESIZE_BILINEAR ops)."""
+    """Bilinear upsample to the target spatial shape (the RESIZE_BILINEAR ops).
+
+    Runs in the input dtype: a 2× bilinear blend is a 2-tap convex sum whose
+    weights are exact in bf16, and the f32 round trip materialized 2× the
+    bytes on the hottest FPN tensors (batch-16 VGA trace, docs/performance.md).
+    """
     b, h, w, c = x.shape
     th, tw = target_shape[1], target_shape[2]
-    out = jax.image.resize(x.astype(jnp.float32), (b, th, tw, c), method="bilinear")
-    return out.astype(x.dtype)
+    return jax.image.resize(x, (b, th, tw, c), method="bilinear")

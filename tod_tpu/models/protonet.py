@@ -37,9 +37,9 @@ class ProtoNet(nn.Module):
         for i in range(3):
             x = nn.relu(conv(self.channels, name=f"conv{i}")(x))
         b, h, w, c = x.shape
-        x = jax.image.resize(
-            x.astype(jnp.float32), (b, h * 2, w * 2, c), method="bilinear"
-        ).astype(self.dtype)
+        # dtype-preserving 2× bilinear (exact 2-tap weights in bf16); the f32
+        # round trip doubled the bytes moved at protonet's resolution
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
         x = nn.relu(conv(self.channels, name="post_up")(x))
         # final prototypes in f32 — they feed the mask-assembly GEMM
         x = conv(self.num_prototypes, k=1, name="proto_out")(x)

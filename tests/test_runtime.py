@@ -124,6 +124,30 @@ class TestEngine:
         # random weights — the contract is the plumbing, not the content)
         assert store.get() is not None
 
+    def test_run_loop_fused_instream_planning(self):
+        """The latency-bounded serving mode: device-planner backend with the
+        FUSED frame+plan graph dispatched every plan_every frames
+        (Engine._serve_step_plan) and a bounded dispatch queue.  Every
+        plan_every-th dispatch returns the (max_steps+1, 2) plan buffer the
+        worker materializes; staleness is bounded by plan_every, not the
+        sync window."""
+        cfg = dataclasses.replace(TINY_CFG, planner=PlannerConfig(backend="tpu"))
+        eng = Engine(cfg, mode="semantic", use_pallas=False)
+        store = PathStore()
+        metrics = eng.run(
+            SyntheticSource(TINY_CAM, n_frames=6),
+            path_store=store,
+            plan_paths=True,
+            plan_every=2,
+            max_inflight=2,
+            sync_every=4,
+        )
+        assert metrics["n_frames"] == 6
+        # frames 0, 2, 4 carry fused plans (drop-old worker may skip some,
+        # but at least the final materialization must land)
+        assert metrics["plans_done"] >= 1
+        assert store.get() is not None
+
     def test_semantic_mode(self):
         eng = Engine(TINY_CFG, mode="semantic", use_pallas=False)
         frame = next(SyntheticSource(TINY_CAM, n_frames=1).frames())

@@ -1,0 +1,146 @@
+"""Device-timeline profiling: capture a jax.profiler trace and break a step
+into its top XLA ops / op categories.
+
+This is the tool behind docs/performance.md's batch-16 VGA breakdown (the
+round-3 data-movement findings).  The xplane proto parser uses the protobuf
+stubs TensorFlow ships (imported lazily — the serving path never pays for TF).
+
+CLI::
+
+    python -m tod_tpu.bench.profiling            # batch-16 VGA flagship fwd
+    python -m tod_tpu.bench.profiling --qvga-serve  # the QVGA serve step
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import re
+import tempfile
+
+
+def capture_trace(fn, *args, iters: int = 4, logdir: str | None = None) -> str:
+    """Run ``fn(*args)`` ``iters`` times under jax.profiler; returns the
+    xplane.pb path.  ``fn`` should be jitted and already warmed (compile
+    excluded from the trace)."""
+    import jax
+
+    logdir = logdir or tempfile.mkdtemp(prefix="tod-trace-")
+    out = fn(*args)
+    jax.block_until_ready(out)  # warm
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    if not files:
+        raise RuntimeError(f"no xplane.pb produced under {logdir}")
+    return files[0]
+
+
+def _category(op_name: str) -> str:
+    if "convolution" in op_name:
+        return "convolution"
+    m = re.match(r"%([a-zA-Z\-_]+)", op_name)
+    c = m.group(1).rstrip(".0123456789") if m else "?"
+    if c.endswith("fusion") and "conv" in op_name:
+        return "conv-fusion"
+    return c
+
+
+def top_ops(xplane_path: str, iters: int = 4, device_plane: str = "TPU"):
+    """Aggregate the device plane's synchronous op timeline.
+
+    Returns (total_ms_per_step, by_category, top_ops) where by_category and
+    top_ops are lists of (name, ms_per_step[, count]).
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if device_plane not in plane.name:
+            continue
+        evmeta = {m.id: m.name for m in plane.event_metadata.values()}
+        tot: collections.Counter = collections.Counter()
+        cat: collections.Counter = collections.Counter()
+        n: collections.Counter = collections.Counter()
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = evmeta.get(ev.metadata_id, "?")
+                tot[name] += ev.duration_ps
+                n[name] += 1
+                cat[_category(name)] += ev.duration_ps
+        total_ms = sum(tot.values()) / 1e9 / iters
+        by_cat = [(c, ps / 1e9 / iters) for c, ps in cat.most_common()]
+        top = [
+            (name, ps / 1e9 / iters, n[name] // iters)
+            for name, ps in tot.most_common(20)
+        ]
+        return total_ms, by_cat, top
+    raise RuntimeError(f"no plane matching {device_plane!r} in {xplane_path}")
+
+
+def profile_flagship_forward(batch: int = 16, hw=(480, 640)) -> None:
+    """Trace + print the batch-N VGA flagship forward breakdown."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.core.config import ModelConfig
+    from tod_tpu.models.yolact import create_model
+
+    mcfg = ModelConfig(input_size=hw)
+    model, _ = create_model(mcfg)
+    x0 = jnp.zeros((batch, *hw, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False).loc)
+    _print_report(capture_trace(fwd, variables, x0), f"batch-{batch} {hw} forward")
+
+
+def profile_qvga_serve() -> None:
+    """Trace + print the QVGA batch-1 serve step breakdown."""
+    import jax
+    import numpy as np
+
+    from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig
+    from tod_tpu.runtime import Engine
+
+    cam = CameraConfig(width=320, height=240)
+    cfg = PipelineConfig(camera=cam, model=ModelConfig(input_size=(240, 320)))
+    eng = Engine(cfg, mode="detect")
+    eng.warmup()
+    packed = jax.device_put(np.zeros((cam.height * cam.width * 5,), np.uint8))
+    # fresh jit WITHOUT donation (the engine's serving jit donates the packed
+    # buffer, which a repeated-call trace loop would invalidate)
+    step = jax.jit(eng._serve_step_packed_fn)
+    _print_report(
+        capture_trace(lambda p: step(eng.params, p), packed), "QVGA serve step"
+    )
+
+
+def _print_report(path: str, title: str) -> None:
+    total, by_cat, top = top_ops(path)
+    print(f"== {title}: {total:.3f} ms/step (device op time) ==")
+    print("-- by category --")
+    for c, ms in by_cat[:12]:
+        print(f"  {ms:8.3f} ms  {c}")
+    print("-- top ops --")
+    for name, ms, cnt in top:
+        print(f"  {ms:8.3f} ms x{cnt:3d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--qvga-serve", action="store_true")
+    ap.add_argument("--batch", type=int, default=16)
+    a = ap.parse_args()
+    if a.qvga_serve:
+        profile_qvga_serve()
+    else:
+        profile_flagship_forward(batch=a.batch)

@@ -74,3 +74,25 @@ class TestEvaluatorFastPath:
         assert set(out["sem_iou"]) == {1, 2, 3}
         assert 0 <= out["detections_per_gt"]
         assert 0.0 <= out["det_recall_iou50"] <= 1.0
+
+
+class TestProfilingParser:
+    def test_category_mapping(self):
+        from tod_tpu.bench.profiling import _category
+
+        assert _category("%fusion.2 = bf16[16,2,2,4] fusion(...)") == "fusion"
+        assert (
+            _category("%convolution_convert_fusion = bf16[1] fusion(...)")
+            == "convolution"
+        )
+        # "convert" must NOT be mistaken for a convolution ("conv" substring)
+        assert (
+            _category("%clamp_convert_fusion.17 = bf16[1] fusion(...)")
+            == "clamp_convert_fusion"
+        )
+        assert _category("%convolution.5 = f32[1] convolution(...)") == "convolution"
+        assert _category("%copy.32 = bf16[1] copy(...)") == "copy"
+        assert (
+            _category("%dynamic-update-slice.1 = f32[1] dynamic-update-slice(...)")
+            == "dynamic-update-slice"
+        )

@@ -40,13 +40,13 @@ def capture_trace(fn, *args, iters: int = 4, logdir: str | None = None) -> str:
 
 
 def _category(op_name: str) -> str:
+    # NOTE: match the full word "convolution" — a bare "conv" substring
+    # false-positives on "convert" fusions (a real mislabeling caught by
+    # tests/test_bench.py)
     if "convolution" in op_name:
         return "convolution"
     m = re.match(r"%([a-zA-Z\-_]+)", op_name)
-    c = m.group(1).rstrip(".0123456789") if m else "?"
-    if c.endswith("fusion") and "conv" in op_name:
-        return "conv-fusion"
-    return c
+    return m.group(1).rstrip(".0123456789") if m else "?"
 
 
 def top_ops(xplane_path: str, iters: int = 4, device_plane: str = "TPU"):

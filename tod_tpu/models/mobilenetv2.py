@@ -54,8 +54,14 @@ class ConvBN(nn.Module):
             param_dtype=jnp.float32,
             name="Conv_0",
         )(x)
+        # BN statistics/params stay f32; the normalization itself runs in the
+        # compute dtype at inference — the f32 round trip showed up as ~1 ms
+        # of clamp/convert fusions per batch-16 VGA step (docs/performance.md).
+        # Training keeps f32 normalization (batch-stat update precision).
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.97, dtype=jnp.float32
+            use_running_average=not train,
+            momentum=0.97,
+            dtype=jnp.float32 if train else self.dtype,
         )(x)
         if self.act:
             x = nn.relu6(x)

@@ -119,7 +119,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     packed_d = jax.device_put(np.zeros((cam.height * cam.width * 5,), np.uint8))
-    k = 32 if on_tpu else 2
+    # long chain + best-of-2: the chain pays ONE host->device RTT (~30-50 ms
+    # on the remote tunnel) regardless of length, so short chains overstate
+    # the per-step time (k=32 added ~1-1.5 ms/step here)
+    k = 128 if on_tpu else 2
 
     def _chained(p, packed, k):
         def body(i, carry):
@@ -133,9 +136,12 @@ def main() -> None:
 
     chained = jax.jit(_chained, static_argnums=2)
     float(chained(engine.params, packed_d, k))  # warm (compile + first run)
-    t0 = time.perf_counter()
-    float(chained(engine.params, packed_d, k))  # value forces completion
-    device_step_ms = (time.perf_counter() - t0) / k * 1e3
+    samples = []
+    for _ in range(2 if on_tpu else 1):
+        t0 = time.perf_counter()
+        float(chained(engine.params, packed_d, k))  # value forces completion
+        samples.append(time.perf_counter() - t0)
+    device_step_ms = min(samples) / k * 1e3
 
     flops = _step_flops(engine, packed_d)
     peak = _peak_flops(jax.devices()[0].device_kind) if on_tpu else None

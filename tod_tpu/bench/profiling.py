@@ -114,8 +114,6 @@ def profile_qvga_serve() -> None:
     eng = Engine(cfg, mode="detect")
     eng.warmup()
     packed = jax.device_put(np.zeros((cam.height * cam.width * 5,), np.uint8))
-    # fresh jit WITHOUT donation (the engine's serving jit donates the packed
-    # buffer, which a repeated-call trace loop would invalidate)
     step = jax.jit(eng._serve_step_packed_fn)
     _print_report(
         capture_trace(lambda p: step(eng.params, p), packed), "QVGA serve step"

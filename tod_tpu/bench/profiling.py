@@ -101,8 +101,12 @@ def profile_flagship_forward(batch: int = 16, hw=(480, 640)) -> None:
     _print_report(capture_trace(fwd, variables, x0), f"batch-{batch} {hw} forward")
 
 
-def profile_qvga_serve() -> None:
-    """Trace + print the QVGA batch-1 serve step breakdown."""
+def profile_qvga_serve(plan: bool = False) -> None:
+    """Trace + print the QVGA batch-1 serve step breakdown.
+
+    ``plan=True`` traces the fused frame+plan graph (`Engine._serve_step_plan`
+    — the device-planner serving dispatch) instead of the packed frame step,
+    so the Bellman-Ford/path-walk cost shows up in the same breakdown."""
     import jax
     import numpy as np
 
@@ -114,10 +118,11 @@ def profile_qvga_serve() -> None:
     eng = Engine(cfg, mode="detect")
     eng.warmup()
     packed = jax.device_put(np.zeros((cam.height * cam.width * 5,), np.uint8))
-    step = jax.jit(eng._serve_step_packed_fn)
-    _print_report(
-        capture_trace(lambda p: step(eng.params, p), packed), "QVGA serve step"
-    )
+    if plan:
+        step, title = eng._serve_step_plan, "QVGA fused frame+plan step"
+    else:
+        step, title = jax.jit(eng._serve_step_packed_fn), "QVGA serve step"
+    _print_report(capture_trace(lambda p: step(eng.params, p), packed), title)
 
 
 def _print_report(path: str, title: str) -> None:
@@ -136,9 +141,10 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--qvga-serve", action="store_true")
+    ap.add_argument("--plan", action="store_true", help="fused frame+plan graph")
     ap.add_argument("--batch", type=int, default=16)
     a = ap.parse_args()
-    if a.qvga_serve:
-        profile_qvga_serve()
+    if a.qvga_serve or a.plan:
+        profile_qvga_serve(plan=a.plan)
     else:
         profile_flagship_forward(batch=a.batch)

@@ -176,3 +176,38 @@ class TestDetectInstanceIds:
         ball_ids = set(np.unique(ids[cls == 3]).tolist())
         assert ball_ids == {0, 1}, f"expected dense ids {{0,1}}, got {ball_ids}"
         assert (ids[cls != 3] == -1).all()
+
+
+class TestDepthwiseShiftedModel:
+    """ModelConfig.depthwise_shifted (opt-in, measured negative on v5e —
+    ops/depthwise.py): same param tree, same outputs either way."""
+
+    def test_forward_equivalent_and_tree_identical(self, tiny_model):
+        model, _anchors, params = tiny_model  # default graph: conv lowering
+        shifted_cfg = dataclasses.replace(TINY, depthwise_shifted=True)
+        model_shifted, _ = create_model(shifted_cfg)
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(1, *TINY.input_size, 3)),
+            jnp.float32,
+        )
+        # identical param trees (paths AND init values): either graph must
+        # accept the other's params verbatim, so checkpoints are portable
+        params_shifted = model_shifted.init(jax.random.PRNGKey(0), x, train=False)
+        tree = jax.tree_util.tree_structure
+        assert tree(params) == tree(params_shifted)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params_shifted)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out_conv = model.apply(params, x, train=False)
+        out_shift = model_shifted.apply(params, x, train=False)
+        # bf16 compute: accumulation order differs between the two
+        # formulations, so allow bf16-level slack
+        np.testing.assert_allclose(
+            np.asarray(out_conv.loc), np.asarray(out_shift.loc), rtol=0.03, atol=0.03
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_conv.prototypes),
+            np.asarray(out_shift.prototypes),
+            rtol=0.03,
+            atol=0.03,
+        )

@@ -198,3 +198,51 @@ class TestMasks:
         b = jnp.array([[0.0, 0.0, 0.5, 1.0], [2.0, 2.0, 3.0, 3.0]])
         iou = np.asarray(box_iou(a, b))
         np.testing.assert_allclose(iou, [[0.5, 0.0]], atol=1e-6)
+
+
+class TestDepthwiseShifted:
+    """ops/depthwise.py: shifted-add depthwise == lax depthwise conv."""
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    @pytest.mark.parametrize("hw", [(16, 24), (15, 21)])
+    def test_matches_lax_conv_f32(self, stride, hw):
+        import jax
+        from tod_tpu.ops.depthwise import depthwise_conv_shifted
+
+        rng = np.random.default_rng(7)
+        c = 24
+        x = jnp.asarray(rng.normal(size=(2, *hw, c)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, c)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x,
+            k,
+            window_strides=(stride, stride),
+            padding="SAME",
+            feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = depthwise_conv_shifted(x, k, stride)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_lax_conv(self):
+        import jax
+        from tod_tpu.ops.depthwise import depthwise_conv_shifted
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(1, 8, 10, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, 8)).astype(np.float32))
+
+        def loss_shift(k):
+            return depthwise_conv_shifted(x, k, 2).sum()
+
+        def loss_lax(k):
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(2, 2), padding="SAME",
+                feature_group_count=8,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).sum()
+
+        ga = jax.grad(loss_shift)(k)
+        gb = jax.grad(loss_lax)(k)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-5)

@@ -80,6 +80,15 @@ class ModelConfig:
     # default: depthwise convs are VPU-bound (no MXU win), so quant/requant
     # there is pure overhead; they serve in bf16 inside the int8 graph.
     quantize_depthwise: bool = False
+    # Serve/train depthwise convs as shifted multiply-adds (ops/depthwise.py)
+    # instead of XLA's feature_group_count conv lowering.  Measured NEGATIVE
+    # on v5e and default-off: the formulation wins 1.3-2.3x in *isolation* on
+    # early stride-1 layers (where the conv pays a graph-boundary layout
+    # copy), but inside the full backbone the convs chain layouts copy-free
+    # and the elementwise blocks force layout round trips — batch-16 VGA
+    # forward 6.69 -> 10.53 ms with it on (docs/performance.md).  Kept as an
+    # exact, tested alternative formulation for narrow-channel stencil work.
+    depthwise_shifted: bool = False
     # Detection post-processing
     max_detections: int = 32
     # calibrated on the pinned checkpoint's held-out scenes: true detections

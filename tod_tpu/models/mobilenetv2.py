@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from tod_tpu.models.qconv import conv_factory
+from tod_tpu.ops.depthwise import depthwise_conv_shifted, shifted_wins
 
 
 def _make_divisible(v: float, divisor: int = 8) -> int:
@@ -30,6 +31,31 @@ def _make_divisible(v: float, divisor: int = 8) -> int:
     return new_v
 
 
+class DepthwiseShifted(nn.Module):
+    """Depthwise conv with the shifted-add formulation (ops/depthwise.py).
+
+    Param tree ("kernel", same HWIO (k,k,1,C) shape, same init path) is
+    identical to ``nn.Conv(feature_group_count=C, name=...)``, so float
+    checkpoints load either way and init RNG draws match bit-for-bit."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            self.param_dtype,
+        )
+        return depthwise_conv_shifted(x, kernel, self.stride).astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int = 3
@@ -38,22 +64,41 @@ class ConvBN(nn.Module):
     act: bool = True
     dtype: Any = jnp.bfloat16
     quantized: bool = False
+    dw_shifted: bool = False  # ModelConfig.depthwise_shifted (measured negative)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # explicit name: keeps the param path identical ("Conv_0") whether the
-        # module is nn.Conv or Conv8, so float checkpoints load either way
-        x = conv_factory(self.quantized)(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=self.stride,
-            padding="SAME",
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="Conv_0",
-        )(x)
+        # explicit name: keeps the param path identical ("Conv_0") across
+        # nn.Conv / Conv8 / DepthwiseShifted, so float checkpoints load any way
+        depthwise = self.groups > 1 and self.groups == x.shape[-1]
+        use_shifted = (
+            depthwise
+            and self.dw_shifted
+            and shifted_wins(x.shape[-1], self.stride)
+        )
+        if use_shifted and not self.quantized:
+            conv = DepthwiseShifted(
+                self.features,
+                kernel_size=self.kernel,
+                stride=self.stride,
+                dtype=self.dtype,
+                name="Conv_0",
+            )
+        else:
+            extra = {"shifted_depthwise": use_shifted} if self.quantized else {}
+            conv = conv_factory(self.quantized)(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=self.stride,
+                padding="SAME",
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+                **extra,
+            )
+        x = conv(x)
         # BN statistics/params stay f32; the normalization itself runs in the
         # compute dtype at inference — the f32 round trip showed up as ~1 ms
         # of clamp/convert fusions per batch-16 VGA step (docs/performance.md).
@@ -74,6 +119,7 @@ class InvertedResidual(nn.Module):
     expand: int
     dtype: Any = jnp.bfloat16
     quantized: bool = False
+    dw_shifted: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,7 +132,7 @@ class InvertedResidual(nn.Module):
         # depthwise
         y = ConvBN(
             hidden, kernel=3, stride=self.stride, groups=hidden, dtype=self.dtype,
-            quantized=q,
+            quantized=q, dw_shifted=self.dw_shifted,
         )(y, train)
         # linear projection
         y = ConvBN(self.features, kernel=1, act=False, dtype=self.dtype, quantized=q)(
@@ -115,6 +161,7 @@ class MobileNetV2(nn.Module):
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
     quantized: bool = False
+    dw_shifted: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,7 +175,7 @@ class MobileNetV2(nn.Module):
             for i in range(n):
                 x = InvertedResidual(
                     feats, stride=s if i == 0 else 1, expand=t, dtype=self.dtype,
-                    quantized=self.quantized,
+                    quantized=self.quantized, dw_shifted=self.dw_shifted,
                 )(x, train)
             if stage == 2:
                 taps["c3"] = x

@@ -80,6 +80,11 @@ class Conv8(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     native_int8: bool | None = None  # None = auto (TPU yes, else float-sim)
+    # Serve depthwise float convs via the shifted-add formulation
+    # (ops/depthwise.py) instead of XLA's transposed-layout depthwise lowering.
+    # Only the float-serve branch uses it (the int8 branches keep the conv —
+    # an s8 shifted accumulation would have to run in f32 anyway).
+    shifted_depthwise: bool = False
 
     def _conv(self, x, kernel, strides, preferred=None):
         kw = dict(
@@ -146,7 +151,19 @@ class Conv8(nn.Module):
 
         # --- float serve path: non-f32 kernel = "serve as-is" marker --------
         if kernel.dtype != jnp.float32:
-            y = self._conv(x.astype(kernel.dtype), kernel, strides)
+            if (
+                self.shifted_depthwise
+                and self.feature_group_count == x.shape[-1]
+                and strides[0] == strides[1]
+                and self.padding == "SAME"
+            ):
+                from tod_tpu.ops.depthwise import depthwise_conv_shifted
+
+                y = depthwise_conv_shifted(
+                    x.astype(kernel.dtype), kernel, strides[0]
+                )
+            else:
+                y = self._conv(x.astype(kernel.dtype), kernel, strides)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y.astype(self.dtype)

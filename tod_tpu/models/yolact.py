@@ -59,7 +59,12 @@ class Yolact(nn.Module):
         dtype = jnp.dtype(self.cfg.dtype)
         q = self.cfg.quantized
         if self.cfg.backbone == "mobilenetv2":
-            return MobileNetV2(width_mult=self.cfg.width_mult, dtype=dtype, quantized=q)
+            return MobileNetV2(
+                width_mult=self.cfg.width_mult,
+                dtype=dtype,
+                quantized=q,
+                dw_shifted=self.cfg.depthwise_shifted,
+            )
         if self.cfg.backbone.startswith("resnet"):
             return ResNet(variant=self.cfg.backbone, dtype=dtype, quantized=q)
         raise ValueError(f"unknown backbone {self.cfg.backbone!r}")

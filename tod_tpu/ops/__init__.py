@@ -17,6 +17,7 @@ from tod_tpu.ops.postprocess import (  # noqa: F401
     semantic_postprocess,
 )
 from tod_tpu.ops.cc_labels import connected_components  # noqa: F401
+from tod_tpu.ops.depthwise import depthwise_conv_shifted  # noqa: F401
 from tod_tpu.ops.anchors import generate_anchors  # noqa: F401
 from tod_tpu.ops.nms import fast_nms  # noqa: F401
 from tod_tpu.ops.masks import assemble_masks, crop_masks  # noqa: F401

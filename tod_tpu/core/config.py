@@ -80,6 +80,13 @@ class ModelConfig:
     # default: depthwise convs are VPU-bound (no MXU win), so quant/requant
     # there is pure overhead; they serve in bf16 inside the int8 graph.
     quantize_depthwise: bool = False
+    # Quantization-aware training (with quantized=True): the training graph
+    # fake-quantizes weights/activations in float with straight-through
+    # gradients (models/qconv.py Conv8.qat), mirroring the static int8 serve
+    # layout — per-cout weight scales, per-tensor activation scales, float
+    # depthwise.  Checkpoints stay tree-identical to the float graph, so a
+    # QAT run serves through the same prepare.py static-int8 pipeline.
+    qat: bool = False
     # Serve/train depthwise convs as shifted multiply-adds (ops/depthwise.py)
     # instead of XLA's feature_group_count conv lowering.  Measured NEGATIVE
     # on v5e and default-off: the formulation wins 1.3-2.3x in *isolation* on
@@ -205,4 +212,6 @@ def validate(cfg: PipelineConfig) -> Sequence[str]:
         problems.append("meaningful_classes exceeds num_classes")
     if cfg.planner.max_seed_balls < 1:
         problems.append("planner.max_seed_balls must be >= 1")
+    if cfg.model.qat and not cfg.model.quantized:
+        problems.append("model.qat requires model.quantized=True")
     return problems

@@ -47,6 +47,42 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _ste_round(x):
+    """round() with a straight-through gradient (identity), the standard QAT
+    estimator: the quantizer's staircase has zero gradient a.e., so training
+    through real int8 quantization never moves the weights; STE pretends the
+    staircase is the identity for the backward pass."""
+    return jnp.round(x)
+
+
+def _ste_round_fwd(x):
+    return jnp.round(x), None
+
+
+def _ste_round_bwd(_, g):
+    return (g,)
+
+
+_ste_round.defvjp(_ste_round_fwd, _ste_round_bwd)
+
+
+def fake_quantize(x, axis=None, bits: int = 8):
+    """Quantize→dequantize in float with STE gradients (QAT forward).
+
+    Values are EXACTLY the dequantized int8 grid the inference paths produce
+    (same symmetric scale = amax/127 as :func:`quantize_symmetric`); gradients
+    are identity inside the clip range and zero outside (clipped STE).  The
+    scale is stop-gradient (plain QAT, not learned-scale LSQ).
+    """
+    qmax = 2 ** (bits - 1) - 1
+    amax = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(x), axis=axis, keepdims=axis is not None)
+    )
+    scale = jnp.maximum(amax / qmax, 1e-12)
+    return jnp.clip(_ste_round(x / scale), -qmax, qmax) * scale
+
+
 def quantize_symmetric(x, axis=None, bits: int = 8):
     """x f32 → (int8 values, f32 scale broadcastable over x).
 
@@ -85,6 +121,10 @@ class Conv8(nn.Module):
     # Only the float-serve branch uses it (the int8 branches keep the conv —
     # an s8 shifted accumulation would have to run in f32 anyway).
     shifted_depthwise: bool = False
+    # Quantization-aware training: fake-quantize weights (per-cout) and
+    # activations (per-tensor) in float with STE gradients, mirroring the
+    # static int8 serve path's quantization layout.  conv_factory("qat").
+    qat: bool = False
 
     def _conv(self, x, kernel, strides, preferred=None):
         kw = dict(
@@ -168,6 +208,32 @@ class Conv8(nn.Module):
                 y = y + bias.astype(y.dtype)
             return y.astype(self.dtype)
 
+        # --- QAT path: fake-quantized float conv, STE gradients -------------
+        # Mirrors the static-int8 serve layout (per-cout weight scales,
+        # per-tensor activation scale; depthwise stays float exactly as
+        # prepare.py serves it), so what trains is what serves.  Sows the
+        # same quant_calib amax so post-QAT static preparation works.
+        if self.qat:
+            xf = x.astype(jnp.float32)
+            if not self.is_initializing():
+                self.sow(
+                    "quant_calib",
+                    "amax",
+                    jnp.max(jnp.abs(xf)),
+                    init_fn=lambda: jnp.float32(0.0),
+                    reduce_fn=jnp.maximum,
+                )
+            depthwise = self.feature_group_count > 1
+            if depthwise:
+                y = self._conv(xf, kernel, strides)
+            else:
+                y = self._conv(
+                    fake_quantize(xf), fake_quantize(kernel, axis=(0, 1, 2)), strides
+                )
+            if bias is not None:
+                y = y + bias
+            return y.astype(self.dtype)
+
         # --- dynamic path (legacy + calibration) ----------------------------
         wq, sw = quantize_symmetric(kernel, axis=(0, 1, 2))  # (1,1,1,Cout)
         # per-sample activation scales: amax over each image's own axes only,
@@ -198,8 +264,13 @@ class Conv8(nn.Module):
         return y.astype(self.dtype)
 
 
-def conv_factory(quantized: bool):
+def conv_factory(quantized):
     """Returns the conv module class for a quantization mode — ``nn.Conv``
-    (bf16 MXU path) or :class:`Conv8`.  Both accept the same constructor
-    kwargs used across the model family and create identical param trees."""
+    (bf16 MXU path), :class:`Conv8` (int8 inference), or QAT-flavoured Conv8
+    when ``quantized == "qat"``.  All accept the same constructor kwargs used
+    across the model family and create identical param trees."""
+    if quantized == "qat":
+        import functools
+
+        return functools.partial(Conv8, qat=True)
     return Conv8 if quantized else nn.Conv

@@ -55,9 +55,15 @@ jax.tree_util.register_dataclass(YolactOutputs)
 class Yolact(nn.Module):
     cfg: ModelConfig
 
+    @property
+    def _qmode(self):
+        """Conv quantization mode for conv_factory: False | True | "qat"."""
+        cfg = self.cfg
+        return "qat" if (cfg.quantized and cfg.qat) else cfg.quantized
+
     def _backbone(self):
         dtype = jnp.dtype(self.cfg.dtype)
-        q = self.cfg.quantized
+        q = self._qmode
         if self.cfg.backbone == "mobilenetv2":
             return MobileNetV2(
                 width_mult=self.cfg.width_mult,
@@ -74,7 +80,7 @@ class Yolact(nn.Module):
         """x: (B, H, W, 3) normalized images."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        q = cfg.quantized
+        q = self._qmode
         c3, c4, c5 = self._backbone()(x, train=train)
         pyramid = FPN(
             channels=cfg.fpn_channels, levels=cfg.fpn_levels, dtype=dtype, quantized=q

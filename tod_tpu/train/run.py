@@ -19,6 +19,12 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--small", action="store_true", help="tiny model for smoke runs")
     p.add_argument("--cls-loss", default="ohem", choices=("ohem", "focal"))
+    p.add_argument(
+        "--qat",
+        action="store_true",
+        help="quantization-aware training: fake-quantized convs w/ STE grads "
+        "(the checkpoint then serves through the static-int8 prepare pipeline)",
+    )
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
@@ -38,6 +44,8 @@ def main(argv=None) -> int:
     from tod_tpu.train import SyntheticDetectionData, Trainer
 
     mcfg = ModelConfig(input_size=(args.height, args.width))
+    if args.qat:
+        mcfg = dataclasses.replace(mcfg, quantized=True, qat=True)
     if args.small:
         mcfg = dataclasses.replace(
             mcfg, fpn_channels=32, proto_channels=32, head_channels=32,

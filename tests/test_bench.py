@@ -51,6 +51,59 @@ class TestBoxIoU:
         assert box_iou([0, 0, 0, 0], [0, 0, 1, 1]) == 0.0
 
 
+class TestAveragePrecision:
+    """Hand-computed AP / matching cases for the evaluator's mAP path."""
+
+    def test_perfect(self):
+        from tod_tpu.train.evaluate import average_precision
+
+        assert average_precision([0.9, 0.8], [True, True], 2) == pytest.approx(1.0)
+
+    def test_textbook_case(self):
+        # ranked TP/FP/TP with 2 GT: AP = 1.0·0.5 + (2/3)·0.5 = 5/6
+        from tod_tpu.train.evaluate import average_precision
+
+        ap = average_precision([0.9, 0.8, 0.7], [True, False, True], 2)
+        assert ap == pytest.approx(5 / 6)
+
+    def test_order_independent_input(self):
+        # the function ranks by score itself; shuffled input gives the same AP
+        from tod_tpu.train.evaluate import average_precision
+
+        ap = average_precision([0.7, 0.9, 0.8], [True, True, False], 2)
+        assert ap == pytest.approx(5 / 6)
+
+    def test_missed_gt_caps_recall(self):
+        # one TP but 2 GT: AP = 1.0·0.5 (recall never reaches 1)
+        from tod_tpu.train.evaluate import average_precision
+
+        assert average_precision([0.9], [True], 2) == pytest.approx(0.5)
+
+    def test_edge_cases(self):
+        from tod_tpu.train.evaluate import average_precision
+
+        assert average_precision([], [], 0) is None  # no GT: undefined
+        assert average_precision([], [], 3) == 0.0  # GT but no detections
+
+    def test_greedy_match_duplicates_are_fp(self):
+        import numpy as np
+
+        from tod_tpu.train.evaluate import _greedy_match
+
+        # two detections on one GT: only the higher-scoring one is a TP
+        mat = np.array([[0.6], [0.8]])
+        tp = _greedy_match(mat, [0.9, 0.5], thr=0.5)
+        assert tp.tolist() == [True, False]
+
+    def test_greedy_match_threshold(self):
+        import numpy as np
+
+        from tod_tpu.train.evaluate import _greedy_match
+
+        tp = _greedy_match(np.array([[0.4]]), [0.9], thr=0.5)
+        assert tp.tolist() == [False]
+
+
 class TestEvaluatorFastPath:
     def test_evaluate_tiny_runs(self, tmp_path):
         # end-to-end evaluator on a tiny model + fresh checkpoint: exercises
@@ -74,6 +127,9 @@ class TestEvaluatorFastPath:
         assert set(out["sem_iou"]) == {1, 2, 3}
         assert 0 <= out["detections_per_gt"]
         assert 0.0 <= out["det_recall_iou50"] <= 1.0
+        assert set(out["ap50_per_class"]) == {1, 2, 3}
+        for key in ("map50", "map50_95"):
+            assert out[key] is None or 0.0 <= out[key] <= 1.0
 
 
 class TestProfilingParser:

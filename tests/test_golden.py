@@ -170,6 +170,10 @@ class TestTrainedCheckpoint:
         assert m["det_recall_iou50"] >= 0.8, m
         assert m["det_best_box_iou_mean"] >= 0.7, m
         assert 0.5 <= m["detections_per_gt"] <= 1.6, m
+        # COCO-style mAP (greedy matching, duplicates penalized as FPs);
+        # pinned checkpoint measures mAP@.5 0.991, mAP@[.5:.95] 0.919
+        assert m["map50"] >= 0.9, m
+        assert m["map50_95"] >= 0.75, m
         # per-instance binary masks (the YOLACT capability, not just the
         # semantic map): pinned checkpoint measures 0.87
         assert m["inst_mask_iou_mean"] >= 0.75, m

@@ -3,9 +3,10 @@
 The reference has no evaluation at all (SURVEY.md §4: zero tests; the author
 judged the model by eyeballing BMP dumps).  This is the numeric replacement:
 held-out procedural scenes with exact ground truth → per-class semantic mask
-IoU, detection box quality (best-IoU per GT object), score calibration, and
-duplicate-slot rate.  Used to gate which checkpoint gets pinned in
-``checkpoints/`` (the model-card numbers come from here).
+IoU, detection box quality (best-IoU per GT object), COCO-style mAP
+(AP@0.5 per class, mAP@0.5, mAP@[.5:.95] with greedy score-ordered matching),
+score calibration, and duplicate-slot rate.  Used to gate which checkpoint
+gets pinned in ``checkpoints/`` (the model-card numbers come from here).
 """
 
 from __future__ import annotations
@@ -25,6 +26,59 @@ def box_iou(a, b) -> float:
     area_b = max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
     union = area_a + area_b - inter
     return float(inter / union) if union > 0 else 0.0
+
+
+def average_precision(scores, tp_flags, n_gt: int):
+    """All-point interpolated AP (area under the precision envelope).
+
+    ``scores``/``tp_flags`` are per-detection over the whole eval set (any
+    order); ``n_gt`` is the total ground-truth count for the class.  Returns
+    None when the class has no ground truth (undefined, not zero).
+    """
+    import numpy as np
+
+    if n_gt <= 0:
+        return None
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-np.asarray(scores, dtype=np.float64), kind="stable")
+    tp = np.asarray(tp_flags, dtype=np.float64)[order]
+    ctp = np.cumsum(tp)
+    recall = ctp / n_gt
+    precision = ctp / np.arange(1, len(tp) + 1)
+    # precision envelope: p(r) = max precision at recall >= r
+    env = np.maximum.accumulate(precision[::-1])[::-1]
+    # sum p(r)·Δr over the recall steps where a TP lands
+    prev_r = 0.0
+    ap = 0.0
+    for r, p, t in zip(recall, env, tp):
+        if t:
+            ap += p * (r - prev_r)
+            prev_r = r
+    return float(ap)
+
+
+def _greedy_match(iou_mat, scores, thr: float):
+    """Score-ordered greedy detection↔GT matching at one IoU threshold.
+
+    ``iou_mat``: (n_det, n_gt) same-class IoUs for ONE scene.  Each GT matches
+    at most one detection (the highest-scoring one that clears ``thr``) —
+    duplicates on the same object are false positives, exactly the behavior
+    mAP is chosen to penalize (detections_per_gt alone can't).
+    Returns a (n_det,) bool TP array in the original detection order.
+    """
+    import numpy as np
+
+    n_det, n_gt = iou_mat.shape
+    tp = np.zeros(n_det, dtype=bool)
+    taken = np.zeros(n_gt, dtype=bool)
+    for i in np.argsort(-np.asarray(scores), kind="stable"):
+        ious = np.where(taken, -1.0, iou_mat[i])
+        j = int(np.argmax(ious)) if n_gt else -1
+        if j >= 0 and ious[j] >= thr:
+            tp[i] = True
+            taken[j] = True
+    return tp
 
 
 def evaluate(
@@ -53,6 +107,10 @@ def evaluate(
     sem_i = {1: 0.0, 2: 0.0, 3: 0.0}
     sem_u = {1: 0.0, 2: 0.0, 3: 0.0}
     best_ious, scores, inst_mask_ious, n_gt, n_det = [], [], [], 0, 0
+    # per-class AP accumulators: detection (score, iou-row) pairs per scene
+    ap_scores = {c: [] for c in sem_i}  # flat per-detection scores
+    ap_mats = {c: [] for c in sem_i}  # per-scene (n_det_c, n_gt_c) IoU mats
+    ap_ngt = {c: 0 for c in sem_i}
     for _ in range(n_scenes):
         img, gboxes, gclasses, gvalid, ginst, sem = data._scene()
         frame = Frame(rgb=img, depth=depth)
@@ -68,8 +126,21 @@ def evaluate(
         boxes = np.asarray(dets.boxes)[valid]
         classes = np.asarray(dets.classes)[valid]
         det_masks = np.asarray(dets.masks)[valid]  # (N, H/4, W/4) soft
-        scores.extend(np.asarray(dets.scores)[valid].tolist())
+        det_scores = np.asarray(dets.scores)[valid]
+        scores.extend(det_scores.tolist())
         n_det += int(valid.sum())
+        # per-class score/IoU records for mAP (greedy matching happens after
+        # the scene loop, once per IoU threshold)
+        gv = np.asarray(gvalid, dtype=bool)
+        for c in ap_scores:
+            di = classes == c
+            gb_c = np.asarray(gboxes)[gv & (np.asarray(gclasses) == c)]
+            ap_ngt[c] += len(gb_c)
+            mat = np.array(
+                [[box_iou(b, g) for g in gb_c] for b in boxes[di]], dtype=np.float64
+            ).reshape(int(di.sum()), len(gb_c))
+            ap_scores[c].append(det_scores[di])
+            ap_mats[c].append(mat)
         # GT instance masks at the prototype resolution (the masks' native res)
         ginst_p = data._downsample_mask(ginst, 4) > 0.5
         for j, (gb, gc, gv) in enumerate(zip(gboxes, gclasses, gvalid)):
@@ -93,9 +164,40 @@ def evaluate(
             union = (bm | gm).sum()
             inst_mask_ious.append(float((bm & gm).sum() / union) if union else 0.0)
 
+    # COCO-style mAP: AP per class at IoU .5 and averaged over [.5:.95:.05]
+    thresholds = [0.5 + 0.05 * t for t in range(10)]
+    ap_by_thr: dict[float, dict[int, float | None]] = {}
+    for thr in thresholds:
+        per_class = {}
+        for c in ap_scores:
+            flat_scores, flat_tp = [], []
+            for sc, mat in zip(ap_scores[c], ap_mats[c]):
+                flat_scores.extend(sc.tolist())
+                flat_tp.extend(_greedy_match(mat, sc, thr).tolist())
+            per_class[c] = average_precision(flat_scores, flat_tp, ap_ngt[c])
+        ap_by_thr[thr] = per_class
+
+    def _mean_ap(per_class):
+        vals = [v for v in per_class.values() if v is not None]
+        return round(float(np.mean(vals)), 4) if vals else None
+
+    map50 = _mean_ap(ap_by_thr[0.5])
+    map_all = [_mean_ap(ap_by_thr[t]) for t in thresholds]
+    map5095 = (
+        round(float(np.mean([m for m in map_all if m is not None])), 4)
+        if any(m is not None for m in map_all)
+        else None
+    )
+
     return {
         "checkpoint": ckpt,
         "n_scenes": n_scenes,
+        "ap50_per_class": {
+            c: (round(v, 4) if v is not None else None)
+            for c, v in ap_by_thr[0.5].items()
+        },
+        "map50": map50,
+        "map50_95": map5095,
         "sem_iou": {
             c: round(sem_i[c] / sem_u[c], 4) if sem_u[c] else None for c in sem_i
         },

@@ -221,8 +221,22 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt", required=True)
     p.add_argument("--scenes", type=int, default=16)
     p.add_argument("--seed", type=int, default=9999)
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="evaluate through the static-int8 serving graph (BN fold + "
+        "calibration + pre-quantized weights, models/prepare.py) — measures "
+        "the quantized mode's quality directly, PTQ and QAT checkpoints alike",
+    )
     args = p.parse_args(argv)
-    print(json.dumps(evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed)))
+    mcfg = None
+    if args.int8:
+        from tod_tpu.core.config import ModelConfig
+
+        mcfg = ModelConfig(input_size=(240, 320), quantized=True)
+    out = evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed, mcfg=mcfg)
+    out["mode"] = "static-int8" if args.int8 else "float"
+    print(json.dumps(out))
     return 0
 
 

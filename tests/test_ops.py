@@ -246,3 +246,81 @@ class TestDepthwiseShifted:
         ga = jax.grad(loss_shift)(k)
         gb = jax.grad(loss_lax)(k)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-5)
+
+
+class TestS2DStem:
+    """ops/s2d.py: space-to-depth stem == SAME-padded stride-2 3x3 conv."""
+
+    @pytest.mark.parametrize("hw", [(16, 24), (240, 320), (12, 12)])
+    def test_matches_lax_conv_f32(self, hw):
+        import jax
+        from tod_tpu.ops.s2d import s2d_stem_conv
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, *hw, 3)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, 32)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = s2d_stem_conv(x, k)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_lax_conv(self):
+        import jax
+        from tod_tpu.ops.s2d import s2d_stem_conv
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(size=(1, 8, 10, 3)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, 8)).astype(np.float32))
+
+        def loss_s2d(k):
+            return s2d_stem_conv(x, k).sum()
+
+        def loss_lax(k):
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).sum()
+
+        ga = jax.grad(loss_s2d)(k)
+        gb = jax.grad(loss_lax)(k)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-5)
+
+    def test_model_flag_checkpoint_compatible(self):
+        """Same params, s2d_stem on/off: identical trees, matching outputs
+        (bf16-tolerance), so the flag can flip on any pinned checkpoint."""
+        import dataclasses
+
+        import jax
+
+        from tod_tpu.core.config import ModelConfig
+        from tod_tpu.models.yolact import Yolact
+
+        mcfg = dataclasses.replace(
+            ModelConfig(input_size=(48, 64)),
+            fpn_channels=16, proto_channels=16, head_channels=16,
+            width_mult=0.35, num_prototypes=8, nms_top_k=8, max_detections=4,
+        )
+        m0 = Yolact(mcfg)
+        m1 = Yolact(dataclasses.replace(mcfg, s2d_stem=True))
+        x = jax.random.uniform(jax.random.PRNGKey(3), (1, 48, 64, 3), jnp.float32)
+        v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+        v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+        # identical param trees (paths AND values — same init RNG draws)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            v0["params"], v1["params"],
+        )
+        o0 = m0.apply(v0, x, train=False)
+        o1 = m1.apply(v0, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o0.prototypes, np.float32),
+            np.asarray(o1.prototypes, np.float32),
+            rtol=0.05, atol=0.05,  # bf16 compute: sums reassociate
+        )
+        np.testing.assert_allclose(
+            np.asarray(o0.loc, np.float32), np.asarray(o1.loc, np.float32),
+            rtol=0.05, atol=0.05,
+        )

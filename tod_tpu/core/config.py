@@ -96,6 +96,18 @@ class ModelConfig:
     # forward 6.69 -> 10.53 ms with it on (docs/performance.md).  Kept as an
     # exact, tested alternative formulation for narrow-channel stencil work.
     depthwise_shifted: bool = False
+    # Space-to-depth stem (ops/s2d.py): compute the stride-2 3x3 RGB stem
+    # conv as an exact 2x2 s1 conv on 2x2 space-to-depth input — 12-channel
+    # lanes instead of 3 (the MXU-starved worst case) and 4x smaller spatial
+    # grid.  Checkpoint-compatible (on-the-fly weight transform, identical
+    # param tree); float path only (the int8 stem keeps the plain conv).
+    # Measured NEGATIVE on v5e and default-off: the in-graph S2D transpose
+    # costs more than the 3-channel stem conv it replaces — batch-16 VGA
+    # forward 6.67 -> 7.93 ms (reshape/transpose S2D) and 13.4 ms (strided
+    # slice+concat S2D); XLA's existing stem fusion is already the fastest
+    # formulation here (docs/performance.md).  Kept as the exact, tested
+    # alternative for toolchains where 3-channel convs lower worse.
+    s2d_stem: bool = False
     # Detection post-processing
     max_detections: int = 32
     # calibrated on the pinned checkpoint's held-out scenes: true detections

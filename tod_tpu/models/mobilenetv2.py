@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from tod_tpu.models.qconv import conv_factory
 from tod_tpu.ops.depthwise import depthwise_conv_shifted, shifted_wins
+from tod_tpu.ops.s2d import s2d_stem_conv
 
 
 def _make_divisible(v: float, divisor: int = 8) -> int:
@@ -56,6 +57,27 @@ class DepthwiseShifted(nn.Module):
         return depthwise_conv_shifted(x, kernel, self.stride).astype(self.dtype)
 
 
+class S2DStemConv(nn.Module):
+    """Stride-2 3×3 stem conv computed as a 2×2 s1 conv on space-to-depth
+    input (ops/s2d.py — exact weight transform).  Param tree ("kernel",
+    (3,3,C,O) HWIO, lecun init) is identical to the ``nn.Conv`` it replaces,
+    so pinned checkpoints load either way."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        return s2d_stem_conv(x.astype(self.dtype), kernel).astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int = 3
@@ -65,6 +87,7 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.bfloat16
     quantized: bool = False
     dw_shifted: bool = False  # ModelConfig.depthwise_shifted (measured negative)
+    s2d: bool = False  # ModelConfig.s2d_stem: space-to-depth stem (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -76,7 +99,15 @@ class ConvBN(nn.Module):
             and self.dw_shifted
             and shifted_wins(x.shape[-1], self.stride)
         )
-        if use_shifted and not self.quantized:
+        if (
+            self.s2d
+            and not self.quantized
+            and not depthwise
+            and self.kernel == 3
+            and self.stride == 2
+        ):
+            conv = S2DStemConv(self.features, dtype=self.dtype, name="Conv_0")
+        elif use_shifted and not self.quantized:
             conv = DepthwiseShifted(
                 self.features,
                 kernel_size=self.kernel,
@@ -162,12 +193,15 @@ class MobileNetV2(nn.Module):
     dtype: Any = jnp.bfloat16
     quantized: bool = False
     dw_shifted: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # S2D needs even spatial dims (every supported input size is)
+        s2d = self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         x = ConvBN(
             _make_divisible(32 * self.width_mult), stride=2, dtype=self.dtype,
-            quantized=self.quantized,
+            quantized=self.quantized, s2d=s2d,
         )(x, train)
         taps = {}
         for stage, (t, c, n, s) in enumerate(_MNV2_CFG):

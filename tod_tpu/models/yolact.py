@@ -70,6 +70,7 @@ class Yolact(nn.Module):
                 dtype=dtype,
                 quantized=q,
                 dw_shifted=self.cfg.depthwise_shifted,
+                s2d_stem=self.cfg.s2d_stem,
             )
         if self.cfg.backbone.startswith("resnet"):
             return ResNet(variant=self.cfg.backbone, dtype=dtype, quantized=q)

@@ -185,6 +185,73 @@ class TestPlanFromHeight:
             sum(m for m, _ in c.directions), rel=1e-5
         )
 
+    def test_native_bidir_matches_forward(self):
+        """Bidirectional Dial search (planner.cpp tod_dijkstra_height_bidir):
+        same optimal start cost as the forward pass on random / smooth / wall
+        fields, and its path-only (dist, parent) fill walks monotonically to
+        a seed.  Ties may route differently; COST is the contract."""
+        if not loader.available():
+            pytest.skip("native lib unavailable")
+        lib = loader.get()
+        rng = np.random.default_rng(0)
+        h, w = 96, 128
+        for trial in range(12):
+            kind = trial % 3
+            if kind == 0:
+                height = rng.normal(0, 1, (h, w)).astype(np.float32)
+            elif kind == 1:
+                yy, xx = np.mgrid[0:h, 0:w]
+                height = (np.sin(yy / 9.0) * 3 + np.cos(xx / 11.0) * 2).astype(
+                    np.float32
+                )
+            else:
+                height = np.zeros((h, w), np.float32)
+                height[20:70, 50:55] = 50.0
+            n_seeds = int(rng.integers(1, 4))
+            seeds = np.stack(
+                [rng.integers(0, h, n_seeds), rng.integers(0, w, n_seeds)], 1
+            ).astype(np.int32)
+            sy, sx = h - 1, w // 2
+            d1 = np.empty((h, w), np.float64)
+            p1 = np.empty((h, w), np.int64)
+            d2 = np.empty((h, w), np.float64)
+            p2 = np.empty((h, w), np.int64)
+            lib.tod_dijkstra_height(
+                height.reshape(-1), h, w, seeds.reshape(-1), n_seeds, sy, sx,
+                d1.reshape(-1), p1.reshape(-1),
+            )
+            lib.tod_dijkstra_height_bidir(
+                height.reshape(-1), h, w, seeds.reshape(-1), n_seeds, sy, sx,
+                d2.reshape(-1), p2.reshape(-1),
+            )
+            assert np.isfinite(d2[sy, sx]) == np.isfinite(d1[sy, sx])
+            if not np.isfinite(d1[sy, sx]):
+                continue
+            # f32 labels on both sides: same band as the backend-agreement test
+            assert d2[sy, sx] == pytest.approx(d1[sy, sx], rel=1e-4)
+            y, x, steps = sy, sx, 0
+            while p2[y, x] >= 0 and steps <= h * w:
+                py, px = divmod(int(p2[y, x]), w)
+                assert d2[py, px] < d2[y, x] + 1e-6
+                y, x = py, px
+                steps += 1
+            assert any((y, x) == (int(s[0]), int(s[1])) for s in seeds)
+
+    def test_plan_from_height_bidir_flag(self, wall_scene):
+        if not loader.available():
+            pytest.skip("native lib unavailable")
+        from tod_tpu.planner.api import plan_from_height
+
+        h = np.asarray(wall_scene.height)
+        b = np.asarray(wall_scene.balls)
+        on = plan_from_height(h, b, PlannerConfig(backend="native", bidirectional=True))
+        off = plan_from_height(
+            h, b, PlannerConfig(backend="native", bidirectional=False)
+        )
+        assert sum(m for m, _ in on.directions) == pytest.approx(
+            sum(m for m, _ in off.directions), rel=1e-4
+        )
+
     def test_tpu_backend_and_unknown_backend(self, wall_scene):
         from tod_tpu.planner.api import plan_from_height
 

@@ -163,6 +163,13 @@ class PlannerConfig:
     # search — suppresses phantom slots from fringe pixels of duplicate
     # detections surviving Fast-NMS
     min_ball_pixels: float = 3.0
+    # Native height backend: bidirectional Dial-bucket search (forward from
+    # seeds, backward from the start; stops when the frontiers' bucket lower
+    # bounds cross the best meeting cost) — same optimal cost, ~half the
+    # settled nodes vs the early-exit forward pass.  Path TIES may resolve
+    # differently than the forward-only walk; total cost is gated equal in
+    # tests/test_planner.py.
+    bidirectional: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

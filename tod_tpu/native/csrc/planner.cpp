@@ -228,4 +228,162 @@ int tod_dijkstra_height(const float* height, int h, int w, const int32_t* seeds,
 // barely prunes, while f = g + h breaks the width-1 bucket property and
 // forces a binary heap.  Don't re-add it without a cost-aware bound.
 
+// Bidirectional Dial-bucket Dijkstra on the height-derived grid (the
+// roadmap's "~2× fewer settled nodes" lever for the host path).  Two bucket
+// queues — forward from the ball seeds, backward from the start node (edge
+// costs are symmetric, so both run the same relaxation) — advanced in
+// balanced order (smaller current-bucket side first).  Meeting bound μ is
+// tightened on every successful relaxation whose node carries the opposite
+// label; the searches stop when cur_f + cur_b ≥ μ (bucket indices are lower
+// bounds of each side's unsettled labels, so no remaining path can beat μ —
+// the classic bidirectional termination made conservative by bucket
+// granularity).  Unlike A*, this keeps the width-1 bucket property on both
+// sides, so it composes with the Dial queue instead of fighting it.
+//
+// Output contract is tod_dijkstra_height's (dist = cost-to-seed, parent =
+// next hop toward the seed) filled ONLY along the optimal start→seed path —
+// exactly what extract_directions (planner/dijkstra.py) walks; every other
+// entry stays INFINITY/-1.  Off-path labels would be half-finished by
+// construction (that's where the speedup comes from), so none are reported.
+int tod_dijkstra_height_bidir(const float* height, int h, int w,
+                              const int32_t* seeds, int n_seeds, int start_y,
+                              int start_x, double* dist, int64_t* parent) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  for (int64_t i = 0; i < n; ++i) {
+    dist[i] = INFINITY;
+    parent[i] = -1;
+  }
+  if (start_y < 0 || start_x < 0) {
+    // whole-grid request: no target to search toward — plain forward pass
+    return tod_dijkstra_height(height, h, w, seeds, n_seeds, start_y, start_x,
+                               dist, parent);
+  }
+
+  float hmin = INFINITY, hmax = -INFINITY;
+  for (int64_t i = 0; i < n; ++i) {
+    hmin = std::min(hmin, height[i]);
+    hmax = std::max(hmax, height[i]);
+  }
+  const double dhmax = static_cast<double>(hmax) - hmin;
+  const double cmax = std::sqrt(2.0 + dhmax * dhmax) + dhmax;
+  if (!(cmax >= 0.0) || cmax > static_cast<double>(1 << 16)) {
+    return tod_dijkstra_height(height, h, w, seeds, n_seeds, start_y, start_x,
+                               dist, parent);
+  }
+  const int64_t nbuckets = static_cast<int64_t>(cmax) + 2;
+
+  struct Side {
+    std::vector<std::vector<int32_t>> buckets;
+    std::vector<uint8_t> settled;
+    std::vector<float> fd;
+    std::vector<int64_t> par;
+    int64_t pending = 0;
+    int64_t cur = 0;
+  };
+  static thread_local Side F, B;
+  for (Side* s : {&F, &B}) {
+    if (static_cast<int64_t>(s->buckets.size()) < nbuckets)
+      s->buckets.resize(nbuckets);
+    for (auto& b : s->buckets) b.clear();
+    s->settled.assign(n, 0);
+    s->fd.assign(n, INFINITY);
+    s->par.assign(n, -1);
+    s->pending = 0;
+    s->cur = 0;
+  }
+
+  const int32_t start_idx = start_y * w + start_x;
+  for (int s = 0; s < n_seeds; ++s) {
+    int32_t y = seeds[2 * s], x = seeds[2 * s + 1];
+    if (y < 0 || y >= h || x < 0 || x >= w) continue;
+    const int32_t idx = y * w + x;
+    if (idx == start_idx) {  // the robot is standing on a seed
+      dist[idx] = 0.0;
+      return 0;
+    }
+    if (F.fd[idx] == 0.0f) continue;  // duplicate seed
+    F.fd[idx] = 0.0f;
+    F.buckets[0].push_back(idx);
+    ++F.pending;
+  }
+  if (F.pending == 0) return 0;  // no valid seeds: everything unreached
+  B.fd[start_idx] = 0.0f;
+  B.buckets[0].push_back(start_idx);
+  ++B.pending;
+
+  float mu = INFINITY;   // best known start→seed cost via a doubly-labeled node
+  int32_t meet = -1;
+
+  // One full bucket sweep for side S (other side O), then S.cur advances.
+  auto sweep = [&](Side& S, const Side& O) {
+    std::vector<int32_t>& bucket = S.buckets[S.cur % nbuckets];
+    for (size_t bi = 0; bi < bucket.size(); ++bi) {
+      const int32_t idx = bucket[bi];
+      --S.pending;
+      if (S.settled[idx]) continue;
+      const float d0 = S.fd[idx];
+      if (static_cast<int64_t>(d0) != S.cur) continue;  // moved buckets
+      S.settled[idx] = 1;
+      const int32_t y = idx / w;
+      const int32_t x = idx % w;
+      const float h0 = height[idx];
+      for (int i = 0; i < 8; ++i) {
+        const int ny = y + DY[i], nx = x + DX[i];
+        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+        const int32_t nidx = ny * w + nx;
+        if (S.settled[nidx]) continue;
+        const float dh = height[nidx] - h0;
+        const float base = (DY[i] != 0 && DX[i] != 0) ? 2.0f : 1.0f;
+        const float nd = d0 + std::sqrt(base + dh * dh) + std::fabs(dh);
+        if (nd < S.fd[nidx]) {
+          S.fd[nidx] = nd;
+          S.par[nidx] = idx;
+          S.buckets[static_cast<int64_t>(nd) % nbuckets].push_back(nidx);
+          ++S.pending;
+          if (O.fd[nidx] != INFINITY) {  // carries both labels: meeting bound
+            const float cand = nd + O.fd[nidx];
+            if (cand < mu) {
+              mu = cand;
+              meet = nidx;
+            }
+          }
+        }
+      }
+    }
+    bucket.clear();
+    ++S.cur;
+  };
+
+  while (F.pending > 0 || B.pending > 0) {
+    if (static_cast<double>(F.cur) + static_cast<double>(B.cur) >=
+        static_cast<double>(mu))
+      break;  // no undiscovered path can beat μ
+    // balanced advance: grow the side with the smaller frontier (for the
+    // multi-source forward vs single-source backward asymmetry this
+    // equalizes *work*, where equal bucket depth would not)
+    if (B.pending == 0 || (F.pending > 0 && F.pending <= B.pending)) {
+      sweep(F, B);
+    } else {
+      sweep(B, F);
+    }
+  }
+  if (meet < 0) return 0;  // start unreachable from every seed
+
+  // Materialize the path.  Cost-to-seed of a backward-chain node x is
+  // total − db(x); parents along that chain are reversed to point seed-ward.
+  const double total =
+      static_cast<double>(F.fd[meet]) + static_cast<double>(B.fd[meet]);
+  for (int64_t x = meet; x >= 0; x = F.par[x]) {
+    dist[x] = static_cast<double>(F.fd[x]);
+    parent[x] = F.par[x];
+  }
+  int64_t prev = meet;
+  for (int64_t x = B.par[meet]; x >= 0; x = B.par[x]) {
+    dist[x] = total - static_cast<double>(B.fd[x]);
+    parent[x] = prev;
+    prev = x;
+  }
+  return 0;
+}
+
 }  // extern "C"

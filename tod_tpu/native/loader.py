@@ -37,6 +37,8 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.c_int, ctypes.c_int, _f64p, _i64p,
     ]
     lib.tod_dijkstra_height.restype = ctypes.c_int
+    lib.tod_dijkstra_height_bidir.argtypes = lib.tod_dijkstra_height.argtypes
+    lib.tod_dijkstra_height_bidir.restype = ctypes.c_int
     lib.tod_ring_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.tod_ring_create.restype = ctypes.c_void_p
     lib.tod_ring_destroy.argtypes = [ctypes.c_void_p]

@@ -71,7 +71,12 @@ def plan_from_height(
             dist = np.empty(hw, np.float64)
             parent = np.empty(hw, np.int64)
             seed_arr = np.ascontiguousarray(np.array(seeds, np.int32))
-            lib.tod_dijkstra_height(
+            fn = (
+                lib.tod_dijkstra_height_bidir
+                if cfg.bidirectional
+                else lib.tod_dijkstra_height
+            )
+            fn(
                 height.reshape(-1), hw[0], hw[1], seed_arr.reshape(-1),
                 len(seeds), start[0], start[1],
                 dist.reshape(-1), parent.reshape(-1),

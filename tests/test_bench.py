@@ -13,8 +13,8 @@ class TestBenchRegistry:
         # 1-5 = BASELINE.json configs; 6 = VGA streaming (the reference's
         # native 640x480, src/scene.rs:36-37); 7 = batch throughput + MFU;
         # 8 = latency-bounded serving sweep; 9 = multi-chip DP serving;
-        # 10 = int8 vs bf16 serve step
-        assert sorted(CONFIGS) == list(range(1, 11))
+        # 10 = int8 vs bf16 serve step; 11 = train-step throughput
+        assert sorted(CONFIGS) == list(range(1, 12))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -22,7 +22,14 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "11"])
+            main(["--config", "12"])
+
+    def test_config11_train_throughput_cpu(self):
+        from tod_tpu.bench.configs import config11_train_throughput
+
+        out = config11_train_throughput()
+        assert out["value"] > 0 and out["step_ms"] > 0
+        assert out["unit"] == "steps/s"
 
     def test_peak_flops_table(self):
         from tod_tpu.bench.mfu import peak_flops

@@ -586,6 +586,84 @@ def config10_int8_vs_bf16() -> dict:
     }
 
 
+def config11_train_throughput() -> dict:
+    """Config 11: training throughput + MFU (a capability the reference never
+    had — SURVEY §5 checkpoint/resume: inference-only).
+
+    One flagship-config train step (forward + loss + backward + optax update)
+    at QVGA, serialized-chain timed like the inference configs: the chain
+    carries the TrainState through lax.fori_loop (each step consumes the
+    previous step's params — an inherent data dependency, no opaque guard
+    needed) and finishes with a loss-value readback.  MFU is reported from
+    XLA's cost analysis of the jitted step over the chip's bf16 peak."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.core.config import ModelConfig, TrainConfig
+    from tod_tpu.train import SyntheticDetectionData, Trainer
+    from tod_tpu.train.trainer import make_train_step
+
+    on_tpu = _on_tpu()
+    hw = (240, 320) if on_tpu else (48, 64)
+    batch = 8 if on_tpu else 1
+    mcfg = ModelConfig(input_size=hw) if on_tpu else ModelConfig(
+        input_size=hw, fpn_channels=16, proto_channels=16, head_channels=16,
+        width_mult=0.35, num_prototypes=8,
+    )
+    tcfg = TrainConfig(batch_size=batch)
+    trainer = Trainer(mcfg, tcfg)
+    data = SyntheticDetectionData(hw, batch_size=batch, seed=7)
+    batch0 = {k: jnp.asarray(v) for k, v in data.next_batch().items()}
+    step = make_train_step(trainer.model, trainer.anchors, trainer.tx, tcfg)
+
+    k = 32 if on_tpu else 2
+
+    def _chained(state, b):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = step(st, b)
+            return st, metrics["loss"]
+
+        _, loss = jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+        return loss
+
+    ch = jax.jit(_chained)
+    float(ch(trainer.state, batch0))  # warm/compile
+    samples = []
+    for _ in range(2 if on_tpu else 1):
+        t0 = _time.perf_counter()
+        float(ch(trainer.state, batch0))
+        samples.append(_time.perf_counter() - t0)
+    step_s = min(samples) / k
+
+    mfu = flops = None
+    try:
+        ca = jax.jit(step).lower(trainer.state, batch0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        if on_tpu:
+            from tod_tpu.bench.mfu import peak_flops
+
+            peak = peak_flops(jax.devices()[0].device_kind)
+            mfu = round(flops / step_s / peak, 4) if peak else None
+    except Exception:
+        pass
+
+    return {
+        "metric": f"train_step_batch{batch}_{hw[0]}x{hw[1]}",
+        "value": round(1.0 / step_s, 2),
+        "unit": "steps/s",
+        "step_ms": round(step_s * 1e3, 2),
+        "images_per_s": round(batch / step_s, 1),
+        "step_gflops": round(flops / 1e9, 1) if flops else None,
+        "mfu": mfu,
+        "backend": jax.default_backend(),
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
@@ -597,6 +675,7 @@ CONFIGS = {
     8: config8_latency_bounded_serving,
     9: config9_dp_batch_serving,
     10: config10_int8_vs_bf16,
+    11: config11_train_throughput,
 }
 
 

@@ -63,6 +63,66 @@ class TestTrainer:
         assert np.isfinite(first["loss"]) and np.isfinite(later["loss"])
         assert later["loss"] < first["loss"]
 
+    def test_chunked_train_matches_per_step(self):
+        """chunk>1 (lax.scan multi-step dispatch) must apply the SAME update
+        sequence as the per-step loop — same data order, same state carry,
+        same step count.  This is the dispatch-bound-training fix (one RTT
+        per chunk instead of per step; docs/performance.md).
+
+        Gate horizon is 2 steps, and deliberately so.  Measured facts
+        (SGD + f32 + focal, this exact setup): step-1 loss is BIT-IDENTICAL
+        across the scan and per-step programs; step-2 loss differs 2.3e-7
+        relative (the two XLA programs reassociate gradient reductions
+        differently — ULP-level); by step 3 the difference is 1e-3+ at ANY
+        learning rate (even 1e-5), because the unnormalized YOLACT loss has
+        lr·λmax > 1 curvature early in training and amplifies a ULP ~1e4×
+        per step — chaotic dynamics, not a chunking bug.  So the 2-step
+        horizon is where the mechanism is provably gateable; the AdamW test
+        below covers multi-step + the mixed scan+tail path at a
+        training-outcome tolerance.  Focal (not OHEM) because OHEM's
+        conf-ranked top-k negative selection is additionally discontinuous
+        in params (a ULP flips the selected set → O(1) gradient change);
+        SGD (not Adam) because Adam turns a ULP on a near-zero-gradient
+        element into a full ±lr·sign step."""
+        import optax
+
+        cfg = dataclasses.replace(TINY, dtype="float32")
+        ttrain = dataclasses.replace(TTRAIN, cls_loss="focal")
+        tx = optax.sgd(1e-5)
+        t1 = Trainer(cfg, ttrain, tx=tx)
+        t2 = Trainer(cfg, ttrain, tx=tx)
+        d1 = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=3)
+        d2 = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=3)
+        m1 = t1.train(d1, steps=2, log_every=10, log_fn=lambda *_: None)
+        m2 = t2.train(d2, steps=2, log_every=10, log_fn=lambda *_: None, chunk=2)
+        assert m1["loss"] == pytest.approx(m2["loss"], rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+        ):
+            # measured maxdiff 1.1e-4 (one curvature amplification of the
+            # step-1 gradient ULPs); 2e-3 gives ~18x headroom while still
+            # catching any wrong-batch / dropped-step / stale-state bug,
+            # whose signature is O(lr·|g|) ~ 1e-1
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-3
+            )
+        assert int(t1.state.step) == int(t2.state.step) == 2
+
+    def test_chunked_train_adamw_loss_tracks(self):
+        """With the real AdamW recipe (warmup, cosine, global-norm clip) the
+        chunked run must still TRAIN the same — loss after 4 steps within a
+        few %.  chunk=3 over 4 steps exercises the mixed path: one scan-of-3
+        dispatch plus a trailing per-step call on the carried state.  Exact
+        param equality is not gateable across compilations (see above)."""
+        t1 = Trainer(TINY, TTRAIN)
+        t2 = Trainer(TINY, TTRAIN)
+        d1 = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=3)
+        d2 = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=3)
+        m1 = t1.train(d1, steps=4, log_every=10, log_fn=lambda *_: None)
+        m2 = t2.train(d2, steps=4, log_every=10, log_fn=lambda *_: None, chunk=3)
+        assert m1["loss"] == pytest.approx(m2["loss"], rel=5e-2)
+        assert int(t1.state.step) == int(t2.state.step) == 4
+
     def test_checkpoint_roundtrip(self, trainer, tmp_path):
         path = tmp_path / "ckpt"
         trainer.save(str(path))

@@ -26,6 +26,12 @@ def main(argv=None) -> int:
         "(the checkpoint then serves through the static-int8 prepare pipeline)",
     )
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument(
+        "--chunk", type=int, default=1,
+        help="train steps per device dispatch (lax.scan over pre-staged "
+        "batches; same update sequence, one transport RTT per chunk — the "
+        "fix for dispatch-bound training on remote-attached chips)",
+    )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
 
@@ -62,7 +68,7 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp)
     trainer = Trainer(mcfg, tcfg, mesh=mesh)
     data = SyntheticDetectionData(mcfg.input_size, batch_size=args.batch, seed=tcfg.seed)
-    trainer.train(data, steps=args.steps, log_every=args.log_every)
+    trainer.train(data, steps=args.steps, log_every=args.log_every, chunk=args.chunk)
     trainer.save(args.out)
     print(f"saved checkpoint to {args.out}")
     return 0

@@ -85,6 +85,35 @@ class TestShardedTraining:
         _, m = t._step(t.state, batch)
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_chunked_sharded_matches_per_step_sharded(self, tp):
+        """Trainer.train(chunk=2) on a mesh (one scan dispatch, batches
+        stacked (chunk, B, ...) with the batch axis dp-sharded) must apply
+        the same update sequence as per-step sharded dispatch.  Same 2-step
+        gate horizon as tests/test_train.py's chunk test (f32 + focal + SGD;
+        beyond 2 steps early-training curvature amplifies cross-program
+        ULPs chaotically — see that docstring for the measurements)."""
+        _require_8()
+        import optax
+
+        mesh = make_mesh(8, tp=tp)
+        ttrain = dataclasses.replace(TTRAIN, cls_loss="focal")
+        tx = optax.sgd(1e-5)
+        t1 = Trainer(TINY32, ttrain, mesh=mesh, tx=tx)
+        t2 = Trainer(TINY32, ttrain, mesh=mesh, tx=tx)
+        d1 = SyntheticDetectionData(TINY32.input_size, batch_size=8, seed=3)
+        d2 = SyntheticDetectionData(TINY32.input_size, batch_size=8, seed=3)
+        m1 = t1.train(d1, steps=2, log_every=10, log_fn=lambda *_: None)
+        m2 = t2.train(d2, steps=2, log_every=10, log_fn=lambda *_: None, chunk=2)
+        assert m1["loss"] == pytest.approx(m2["loss"], rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-3
+            )
+        assert int(t1.state.step) == int(t2.state.step) == 2
+
     def test_flagship_widths_train_step_compiles_sharded(self):
         """128-channel FPN / 9-anchor heads through the dp×tp sharded train
         step (AOT compile — the divisibility/propagation surface; spatial size

@@ -38,6 +38,14 @@ def batch_sharding(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda _: NamedSharding(mesh, P("dp")), tree)
 
 
+def state_sharding_tree(state: Any, mesh: Mesh) -> Any:
+    """TrainState sharding tree: every leaf (params, opt moments, batch
+    stats) per the tp kernel rule, scalars/odd shapes replicated."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh.shape["tp"])), state
+    )
+
+
 def shard_train_step(step: Callable, state, mesh: Mesh):
     """jit ``step`` over the mesh; returns (jitted_step, device_put state).
 
@@ -45,9 +53,7 @@ def shard_train_step(step: Callable, state, mesh: Mesh):
     dp on their leading axis.  Works for any dp×tp factorization including
     (n, 1) pure-DP and (1, n) pure-TP.
     """
-    state_shardings = jax.tree.map(
-        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh.shape["tp"])), state
-    )
+    state_shardings = state_sharding_tree(state, mesh)
     state = jax.device_put(state, state_shardings)
     batch_sh = NamedSharding(mesh, P("dp"))
     jitted = jax.jit(
@@ -56,6 +62,34 @@ def shard_train_step(step: Callable, state, mesh: Mesh):
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
     )
     return jitted, state
+
+
+def shard_chunk_step(step: Callable, state, mesh: Mesh):
+    """jit a ``lax.scan`` of ``step`` over stacked batches on the mesh.
+
+    The multi-chip variant of ``Trainer.train(chunk=N)``: batches arrive
+    stacked (chunk, B, ...) — the chunk axis stays unsharded (the scan is
+    sequential in it), the batch axis shards over dp, and the TrainState
+    carries through the scan with the same shardings as
+    :func:`shard_train_step`, so one dispatch advances ``chunk`` optimizer
+    steps with all gradient psums riding ICI inside a single XLA program.
+    Returns ``(state, metrics_history)`` with each metric stacked (chunk,).
+    """
+    state_shardings = state_sharding_tree(state, mesh)
+
+    def scan_chunk(st, batches):
+        def body(s, b):
+            s, m = step(s, b)
+            return s, m
+
+        return jax.lax.scan(body, st, batches)
+
+    batch_sh = NamedSharding(mesh, P(None, "dp"))
+    return jax.jit(
+        scan_chunk,
+        in_shardings=(state_shardings, batch_sh),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+    )
 
 
 def shard_inference(fn: Callable, mesh: Mesh):

@@ -132,24 +132,30 @@ class Trainer:
         On this environment's remote tunnel that is the difference between
         dispatch-bound and device-bound training: the QVGA batch-8 step is
         7.9 ms of device time (bench config 11) behind a ~30 ms RTT.
-        Sharded training (mesh) keeps per-step dispatch: scan carries the
-        sharded TrainState fine but data staging differs; chunk is a
-        single-device serving-environment optimization.
+        With a mesh the scan is jitted with the same shardings as the
+        per-step path (chunk axis unsharded, batch axis over dp, TrainState
+        per the tp rule — parallel.sharding.shard_chunk_step), so chunked
+        dispatch composes with multi-chip training.
         """
         last = {}
         t0 = time.perf_counter()
-        if chunk > 1 and self._mesh is not None:
-            chunk = 1  # sharded path: per-step dispatch (see docstring)
         if chunk > 1 and self._chunk_step is None:
+            if self._mesh is not None:
+                from tod_tpu.parallel.sharding import shard_chunk_step
 
-            def _scan_chunk(state, batches):
-                def body(st, b):
-                    st, m = self._step_raw(st, b)
-                    return st, m
+                self._chunk_step = shard_chunk_step(
+                    self._step_raw, self.state, self._mesh
+                )
+            else:
 
-                return jax.lax.scan(body, state, batches)
+                def _scan_chunk(state, batches):
+                    def body(st, b):
+                        st, m = self._step_raw(st, b)
+                        return st, m
 
-            self._chunk_step = jax.jit(_scan_chunk)
+                    return jax.lax.scan(body, state, batches)
+
+                self._chunk_step = jax.jit(_scan_chunk)
         done = 0
         while done < steps:
             n = min(chunk, steps - done) if chunk > 1 else 1

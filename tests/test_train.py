@@ -123,6 +123,46 @@ class TestTrainer:
         assert m1["loss"] == pytest.approx(m2["loss"], rel=5e-2)
         assert int(t1.state.step) == int(t2.state.step) == 4
 
+    def test_prefetch_preserves_order(self):
+        """The background staging thread must consume ``data.next_batch()``
+        strictly sequentially: the yielded chunk stream equals the serial
+        stream batch-for-batch (the chunked-equivalence tests above rely on
+        this; a reorder would silently change the update sequence)."""
+        from tod_tpu.train.prefetch import PrefetchChunks, chunk_schedule
+
+        class Counter:
+            def __init__(self):
+                self.i = 0
+
+            def next_batch(self):
+                self.i += 1
+                return {"x": np.full((2, 3), self.i, np.int32)}
+
+        sizes = chunk_schedule(steps=7, chunk=3)
+        assert sizes == [3, 3, 1]
+        chunks = list(PrefetchChunks(Counter(), sizes, depth=2))
+        seq = [int(c["x"][j, 0, 0]) for c in chunks for j in range(c["x"].shape[0])]
+        assert seq == [1, 2, 3, 4, 5, 6, 7]
+        assert chunks[0]["x"].shape == (3, 2, 3) and chunks[2]["x"].shape == (1, 2, 3)
+
+    def test_prefetch_propagates_producer_errors(self):
+        from tod_tpu.train.prefetch import PrefetchChunks
+
+        class Boom:
+            def __init__(self):
+                self.i = 0
+
+            def next_batch(self):
+                self.i += 1
+                if self.i == 3:
+                    raise RuntimeError("source died")
+                return {"x": np.zeros((1,), np.int32)}
+
+        it = iter(PrefetchChunks(Boom(), [2, 2], depth=1))
+        next(it)  # first chunk fine
+        with pytest.raises(RuntimeError, match="source died"):
+            next(it)
+
     def test_checkpoint_roundtrip(self, trainer, tmp_path):
         path = tmp_path / "ckpt"
         trainer.save(str(path))

@@ -664,6 +664,63 @@ def config11_train_throughput() -> dict:
     }
 
 
+def config12_chunked_train_wall() -> dict:
+    """Config 12: WALL-CLOCK training throughput, per-step vs chunked
+    dispatch (Trainer.train(chunk=N) + prefetch staging).
+
+    Config 11 measures the device-time ceiling of one train step via a
+    serialized chain; this config measures what a user's training run
+    actually achieves end to end — fresh procedural batches, host staging,
+    dispatch, the real Trainer loop — first with per-step dispatch (one
+    transport RTT per step), then with chunk=8 (one RTT per 8 steps, batch
+    synthesis overlapped via the prefetch thread).  The ratio is the
+    dispatch-overhead recovery; on a locally-attached chip it should
+    approach 1.0, over this environment's remote tunnel it is the
+    difference between dispatch-bound and device-bound training
+    (docs/performance.md Training section)."""
+    import time as _time
+
+    from tod_tpu.core.config import ModelConfig, TrainConfig
+    from tod_tpu.train import SyntheticDetectionData, Trainer
+
+    on_tpu = _on_tpu()
+    hw = (240, 320) if on_tpu else (48, 64)
+    batch = 8 if on_tpu else 2
+    chunk = 8
+    # steps must be a multiple of chunk so the timed region reuses the
+    # warmed scan length (a remainder chunk would recompile mid-timing)
+    steps = 48 if on_tpu else 16
+    mcfg = ModelConfig(input_size=hw) if on_tpu else ModelConfig(
+        input_size=hw, fpn_channels=16, proto_channels=16, head_channels=16,
+        width_mult=0.35, num_prototypes=8,
+    )
+    tcfg = TrainConfig(batch_size=batch)
+
+    def _run(ch: int) -> float:
+        trainer = Trainer(mcfg, tcfg)
+        data = SyntheticDetectionData(hw, batch_size=batch, seed=11)
+        # warm: compiles the per-step and (ch>1) scan graphs at timed length
+        trainer.train(data, steps=ch, log_every=10**9,
+                      log_fn=lambda *_: None, chunk=ch)
+        t0 = _time.perf_counter()
+        trainer.train(data, steps=steps, log_every=10**9,
+                      log_fn=lambda *_: None, chunk=ch)
+        return (_time.perf_counter() - t0) / steps
+
+    per_step_s = _run(1)
+    chunked_s = _run(chunk)
+    return {
+        "metric": f"train_wall_chunked_batch{batch}_{hw[0]}x{hw[1]}",
+        "value": round(per_step_s / chunked_s, 3),
+        "unit": "x (per-step wall / chunk=8 wall)",
+        "per_step_ms": round(per_step_s * 1e3, 2),
+        "chunk8_ms_per_step": round(chunked_s * 1e3, 2),
+        "chunk8_steps_per_s": round(1.0 / chunked_s, 2),
+        "chunk8_images_per_s": round(batch / chunked_s, 1),
+        "backend": "tpu" if on_tpu else "cpu",
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
@@ -676,6 +733,7 @@ CONFIGS = {
     9: config9_dp_batch_serving,
     10: config10_int8_vs_bf16,
     11: config11_train_throughput,
+    12: config12_chunked_train_wall,
 }
 
 

@@ -16,7 +16,6 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from tod_tpu.core.config import ModelConfig, TrainConfig
@@ -135,7 +134,10 @@ class Trainer:
         With a mesh the scan is jitted with the same shardings as the
         per-step path (chunk axis unsharded, batch axis over dp, TrainState
         per the tp rule — parallel.sharding.shard_chunk_step), so chunked
-        dispatch composes with multi-chip training.
+        dispatch composes with multi-chip training.  Chunk staging runs on a
+        background prefetch thread (train/prefetch.py): batch synthesis for
+        chunk k+1 overlaps the device executing chunk k, in the same strict
+        data order as the serial loop.
         """
         last = {}
         t0 = time.perf_counter()
@@ -156,18 +158,25 @@ class Trainer:
                     return jax.lax.scan(body, state, batches)
 
                 self._chunk_step = jax.jit(_scan_chunk)
+        if chunk > 1:
+            from tod_tpu.train.prefetch import PrefetchChunks, chunk_schedule
+
+            sizes = chunk_schedule(steps, chunk)
+            staged = iter(PrefetchChunks(data, sizes))
         done = 0
         while done < steps:
             n = min(chunk, steps - done) if chunk > 1 else 1
             if n > 1:
-                bs = [data.next_batch() for _ in range(n)]
-                batches = {
-                    k: jnp.asarray(np.stack([b[k] for b in bs])) for k in bs[0]
-                }
+                batches = {k: jnp.asarray(v) for k, v in next(staged).items()}
                 self.state, mhist = self._chunk_step(self.state, batches)
                 metrics = {k: v[-1] for k, v in mhist.items()}
             else:
-                batch = {k: jnp.asarray(v) for k, v in data.next_batch().items()}
+                if chunk > 1:  # remainder chunk of 1, staged (n, B, ...)
+                    batch = {k: jnp.asarray(v[0]) for k, v in next(staged).items()}
+                else:
+                    batch = {
+                        k: jnp.asarray(v) for k, v in data.next_batch().items()
+                    }
                 self.state, metrics = self._step(self.state, batch)
             done += n
             if done % log_every < n or done >= steps:

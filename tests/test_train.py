@@ -123,6 +123,30 @@ class TestTrainer:
         assert m1["loss"] == pytest.approx(m2["loss"], rel=5e-2)
         assert int(t1.state.step) == int(t2.state.step) == 4
 
+    def test_in_training_eval_and_best_checkpoint(self, tmp_path):
+        """eval_every runs the held-out sweep on the LIVE state through
+        reused engines and keeps the best-mAP checkpoint at best_path; the
+        returned metrics carry eval_map50/eval_best_map50."""
+        t = Trainer(TINY, TTRAIN)
+        data = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=1)
+        best = tmp_path / "best"
+        logs = []
+        m = t.train(
+            data, steps=2, log_every=10, log_fn=logs.append,
+            eval_every=1, eval_scenes=2, best_path=str(best),
+        )
+        assert "eval_map50" in m and "eval_best_map50" in m
+        assert m["eval_best_map50"] >= m["eval_map50"] - 1e-9
+        assert best.exists()  # something was best at least once
+        assert any("eval @ step" in s for s in logs)
+        # engines were built once and reused
+        assert t._eval_engines is not None
+        # the kept checkpoint round-trips through the ordinary loader
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        tree = load_checkpoint(str(best))
+        assert "params" in tree
+
     def test_prefetch_preserves_order(self):
         """The background staging thread must consume ``data.next_batch()``
         strictly sequentially: the yielded chunk stream equals the serial

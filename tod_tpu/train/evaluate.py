@@ -81,24 +81,44 @@ def _greedy_match(iou_mat, scores, thr: float):
     return tp
 
 
-def evaluate(
-    ckpt: str, n_scenes: int = 16, seed: int = 9999, hw=(240, 320), mcfg=None
-) -> dict:
-    import numpy as np
-
+def make_eval_engines(hw=(240, 320), mcfg=None, params=None):
+    """The two evaluation pipelines: detection-mode and semantic-mode
+    Engines over the same model.  Built once and reused across evals (the
+    jitted graphs are params-agnostic — params pass per call), which is what
+    makes periodic in-training evaluation affordable."""
     from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig
-    from tod_tpu.core.types import Frame
     from tod_tpu.runtime.engine import Engine
-    from tod_tpu.train.checkpoint import load_checkpoint
-    from tod_tpu.train.synthetic_data import SyntheticDetectionData
 
-    params = load_checkpoint(ckpt)
     cam = CameraConfig(width=hw[1], height=hw[0])
     cfg = PipelineConfig(camera=cam, model=mcfg or ModelConfig(input_size=hw))
     # two pipeline modes: the semantic head drives sem_iou (the reference's
     # observable output), the detection head drives the box metrics
     eng = Engine(cfg, params=params, mode="detect", use_pallas=False)
     eng_sem = Engine(cfg, params=params, mode="semantic", use_pallas=False)
+    return eng, eng_sem
+
+
+def evaluate(
+    ckpt: str, n_scenes: int = 16, seed: int = 9999, hw=(240, 320), mcfg=None
+) -> dict:
+    from tod_tpu.train.checkpoint import load_checkpoint
+
+    params = load_checkpoint(ckpt)
+    eng, eng_sem = make_eval_engines(hw, mcfg, params=params)
+    out = evaluate_engines(eng, eng_sem, n_scenes=n_scenes, seed=seed, hw=hw)
+    out["checkpoint"] = ckpt
+    return out
+
+
+def evaluate_engines(eng, eng_sem, n_scenes: int = 16, seed: int = 9999, hw=(240, 320)) -> dict:
+    """Run the held-out metric sweep through prebuilt eval engines.
+
+    ``eng.params``/``eng_sem.params`` may be swapped between calls (live
+    training state) without recompiling."""
+    import numpy as np
+
+    from tod_tpu.core.types import Frame
+    from tod_tpu.train.synthetic_data import SyntheticDetectionData
 
     data = SyntheticDetectionData(hw, batch_size=1, seed=seed)
     ramp = np.linspace(3500, 600, hw[0]).astype(np.uint16)
@@ -190,7 +210,6 @@ def evaluate(
     )
 
     return {
-        "checkpoint": ckpt,
         "n_scenes": n_scenes,
         "ap50_per_class": {
             c: (round(v, 4) if v is not None else None)

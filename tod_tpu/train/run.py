@@ -32,6 +32,13 @@ def main(argv=None) -> int:
         "batches; same update sequence, one transport RTT per chunk — the "
         "fix for dispatch-bound training on remote-attached chips)",
     )
+    p.add_argument(
+        "--eval-every", type=int, default=0,
+        help="run the held-out metric sweep (mAP@.5, semantic IoU) on the "
+        "live state every N steps; the best-mAP checkpoint is kept at "
+        "OUT_best (0 = off)",
+    )
+    p.add_argument("--eval-scenes", type=int, default=8)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
 
@@ -68,9 +75,19 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp)
     trainer = Trainer(mcfg, tcfg, mesh=mesh)
     data = SyntheticDetectionData(mcfg.input_size, batch_size=args.batch, seed=tcfg.seed)
-    trainer.train(data, steps=args.steps, log_every=args.log_every, chunk=args.chunk)
+    trainer.train(
+        data,
+        steps=args.steps,
+        log_every=args.log_every,
+        chunk=args.chunk,
+        eval_every=args.eval_every,
+        eval_scenes=args.eval_scenes,
+        best_path=(args.out + "_best") if args.eval_every else None,
+    )
     trainer.save(args.out)
     print(f"saved checkpoint to {args.out}")
+    if args.eval_every:
+        print(f"best-eval checkpoint kept at {args.out}_best")
     return 0
 
 

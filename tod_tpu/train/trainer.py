@@ -108,6 +108,8 @@ class Trainer:
         step = make_train_step(self.model, self.anchors, self.tx, self.tcfg)
         self._step_raw = step
         self._chunk_step = None  # built lazily by train(chunk>1)
+        self._eval_engines = None  # built lazily by evaluate()
+        self._best_eval = float("-inf")
         self._mesh = mesh
         if mesh is not None:
             from tod_tpu.parallel.sharding import shard_train_step
@@ -117,7 +119,16 @@ class Trainer:
             self._step = jax.jit(step)
 
     def train(
-        self, data, steps: int, log_every: int = 50, log_fn=print, chunk: int = 1
+        self,
+        data,
+        steps: int,
+        log_every: int = 50,
+        log_fn=print,
+        chunk: int = 1,
+        eval_every: int = 0,
+        eval_scenes: int = 8,
+        eval_seed: int = 9999,
+        best_path: str | None = None,
     ) -> dict:
         """Run ``steps`` optimizer steps.
 
@@ -138,6 +149,14 @@ class Trainer:
         background prefetch thread (train/prefetch.py): batch synthesis for
         chunk k+1 overlaps the device executing chunk k, in the same strict
         data order as the serial loop.
+
+        ``eval_every > 0`` runs the held-out metric sweep (mAP@.5, semantic
+        IoU, box quality — train/evaluate.py) on the LIVE training state
+        every ``eval_every`` steps and at the end, through a pair of eval
+        engines built once and reused (params swap per eval, no recompile).
+        With ``best_path`` set, the checkpoint with the best mAP@.5 seen so
+        far is kept there (best-checkpoint keeping).  The returned metrics
+        dict gains ``eval_map50`` / ``eval_best_map50``.
         """
         last = {}
         t0 = time.perf_counter()
@@ -187,7 +206,43 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in last.items())
                     + f" ({rate:.2f} steps/s)"
                 )
+            if eval_every and (done % eval_every < n or done >= steps):
+                ev = self.evaluate(n_scenes=eval_scenes, seed=eval_seed)
+                m50 = ev.get("map50")
+                score = m50 if m50 is not None else ev["det_best_box_iou_mean"]
+                last["eval_map50"] = float(score)
+                if score > self._best_eval:
+                    self._best_eval = float(score)
+                    if best_path is not None:
+                        self.save(best_path)
+                last["eval_best_map50"] = self._best_eval
+                log_fn(
+                    f"eval @ step {int(self.state.step)}: map50={m50} "
+                    f"recall50={ev['det_recall_iou50']} "
+                    f"sem_iou={ev['sem_iou']} best={self._best_eval:.4f}"
+                )
         return last
+
+    def evaluate(self, n_scenes: int = 8, seed: int = 9999) -> dict:
+        """Held-out metric sweep (train/evaluate.py) on the live state.
+
+        The detect/semantic eval engines are built on first call and reused;
+        params are swapped in per call, so repeated in-training evaluation
+        pays no recompiles."""
+        from tod_tpu.train.evaluate import evaluate_engines, make_eval_engines
+
+        if self._eval_engines is None:
+            self._eval_engines = make_eval_engines(self.mcfg.input_size, self.mcfg)
+        eng, eng_sem = self._eval_engines
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        eng.params = variables
+        eng_sem.params = variables
+        return evaluate_engines(
+            eng, eng_sem, n_scenes=n_scenes, seed=seed, hw=self.mcfg.input_size
+        )
 
     # --- checkpointing (orbax) -------------------------------------------
     def save(self, path: str) -> None:

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
         "OUT_best (0 = off)",
     )
     p.add_argument("--eval-scenes", type=int, default=8)
+    p.add_argument(
+        "--data", default=None,
+        help="train from an annotated image directory (train/dataset.py "
+        "layout: annotations.json + imgs/ + masks/) instead of the "
+        "procedural generator",
+    )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
 
@@ -74,7 +80,16 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(tp=args.tp)
     trainer = Trainer(mcfg, tcfg, mesh=mesh)
-    data = SyntheticDetectionData(mcfg.input_size, batch_size=args.batch, seed=tcfg.seed)
+    if args.data:
+        from tod_tpu.train import DiskDetectionData
+
+        data = DiskDetectionData(
+            args.data, mcfg.input_size, batch_size=args.batch, seed=tcfg.seed
+        )
+    else:
+        data = SyntheticDetectionData(
+            mcfg.input_size, batch_size=args.batch, seed=tcfg.seed
+        )
     trainer.train(
         data,
         steps=args.steps,

@@ -187,6 +187,45 @@ class TestTrainer:
         with pytest.raises(RuntimeError, match="source died"):
             next(it)
 
+    def test_resume_continues_exact_trajectory(self, tmp_path):
+        """save_state/load_state resume the EXACT optimization trajectory:
+        train 3+2 steps in one run vs 3, checkpoint, restore into a fresh
+        Trainer, 2 more on the aligned data stream — identical params
+        (same-process compilations of the same program are deterministic;
+        plain save/load would reset Adam moments and the LR schedule and
+        diverge)."""
+        t1 = Trainer(TINY, TTRAIN)
+        d1 = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=6)
+        t1.train(d1, steps=3, log_every=10, log_fn=lambda *_: None)
+        t1.save_state(str(tmp_path / "full"))
+        t1.train(d1, steps=2, log_every=10, log_fn=lambda *_: None)
+
+        t2 = Trainer(TINY, TTRAIN)
+        t2.load_state(str(tmp_path / "full"))
+        assert int(t2.state.step) == 3
+        d2 = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=6)
+        for _ in range(3):  # align the resumed data stream
+            d2.next_batch()
+        t2.train(d2, steps=2, log_every=10, log_fn=lambda *_: None)
+
+        assert int(t1.state.step) == int(t2.state.step) == 5
+        for a, b in zip(
+            jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0, atol=0,
+            )
+
+    def test_load_state_rejects_optimizer_mismatch(self, tmp_path):
+        import optax
+
+        t1 = Trainer(TINY, TTRAIN)
+        t1.save_state(str(tmp_path / "full"))
+        t2 = Trainer(TINY, TTRAIN, tx=optax.sgd(1e-3))
+        with pytest.raises(ValueError, match="optimizer state mismatch"):
+            t2.load_state(str(tmp_path / "full"))
+
     def test_disk_dataset_roundtrip(self, tmp_path):
         """export_dataset → DiskDetectionData reproduces the generator's
         batch contract: same keys/shapes/dtypes, and for a same-size export

@@ -45,6 +45,17 @@ def main(argv=None) -> int:
         "layout: annotations.json + imgs/ + masks/) instead of the "
         "procedural generator",
     )
+    p.add_argument(
+        "--resume", default=None,
+        help="resume from a FULL training checkpoint (params + optimizer "
+        "state + step, written by --save-full-state) — continues the exact "
+        "optimization trajectory",
+    )
+    p.add_argument(
+        "--save-full-state", action="store_true",
+        help="also write the full training state to OUT_state for "
+        "exact-trajectory resume via --resume",
+    )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
 
@@ -80,6 +91,9 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(tp=args.tp)
     trainer = Trainer(mcfg, tcfg, mesh=mesh)
+    if args.resume:
+        trainer.load_state(args.resume)
+        print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
     if args.data:
         from tod_tpu.train import DiskDetectionData
 
@@ -101,6 +115,9 @@ def main(argv=None) -> int:
     )
     trainer.save(args.out)
     print(f"saved checkpoint to {args.out}")
+    if args.save_full_state:
+        trainer.save_state(args.out + "_state")
+        print(f"full training state saved to {args.out}_state")
     if args.eval_every:
         print(f"best-eval checkpoint kept at {args.out}_best")
     return 0

@@ -262,5 +262,54 @@ class Trainer:
             batch_stats=jax.device_put(restored["batch_stats"]),
         )
 
+    def save_state(self, path: str) -> None:
+        """Full-fidelity training checkpoint: params, batch stats, optimizer
+        state (Adam moments, schedule position) and step counter — resume
+        continues the EXACT optimization trajectory, unlike ``save`` which
+        persists only the serving tree (SURVEY §5 checkpoint/resume).
+
+        The optax state is a nest of NamedTuples orbax round-trips as plain
+        containers, so it is stored as flattened leaves and rebuilt against
+        this Trainer's own optimizer treedef on load."""
+        import numpy as np
+
+        from tod_tpu.train.checkpoint import save_checkpoint
+
+        leaves = jax.tree.leaves(self.state.opt_state)
+        save_checkpoint(
+            path,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "step": np.asarray(self.state.step),
+                "opt_leaves": {str(i): leaf for i, leaf in enumerate(leaves)},
+            },
+        )
+
+    def load_state(self, path: str) -> None:
+        """Resume from :meth:`save_state`.  The optimizer must match the one
+        this Trainer was built with (the leaf count is checked)."""
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path)
+        treedef = jax.tree.structure(self.state.opt_state)
+        n = treedef.num_leaves
+        if len(restored["opt_leaves"]) != n:
+            raise ValueError(
+                f"optimizer state mismatch: checkpoint has "
+                f"{len(restored['opt_leaves'])} leaves, this Trainer's "
+                f"optimizer has {n} — was the optimizer recipe changed?"
+            )
+        opt_state = jax.tree.unflatten(
+            treedef,
+            [jax.device_put(restored["opt_leaves"][str(i)]) for i in range(n)],
+        )
+        self.state = TrainState(
+            params=jax.device_put(restored["params"]),
+            batch_stats=jax.device_put(restored["batch_stats"]),
+            opt_state=opt_state,
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+
     def inference_variables(self) -> dict:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}

@@ -288,6 +288,50 @@ class TestTrainer:
         b = data.next_batch()
         assert b["gt_masks"].max() == 1.0  # fallback produced real masks
 
+    def test_augment_flip_is_label_consistent(self):
+        """A forced horizontal flip must keep labels aligned with pixels:
+        rebuilding the semantic map from the flipped masks+classes matches
+        the flipped semantic target, and flipped boxes still bound their
+        flipped masks."""
+        from tod_tpu.train import Augmented
+
+        src = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=12)
+        ref = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=12)
+        aug = Augmented(src, seed=0, brightness=0, contrast=0)
+        aug.rng = type("R", (), {"random": staticmethod(lambda: 0.0),
+                                 "uniform": staticmethod(lambda a, b: 0.0)})()
+        got = aug.next_batch()
+        want = ref.next_batch()
+        np.testing.assert_array_equal(got["image"], want["image"][:, :, ::-1])
+        np.testing.assert_array_equal(got["sem_target"], want["sem_target"][:, :, ::-1])
+        np.testing.assert_array_equal(got["gt_masks"], want["gt_masks"][:, :, :, ::-1])
+        np.testing.assert_array_equal(got["gt_valid"], want["gt_valid"])
+        for i in range(2):
+            for k in range(want["gt_valid"].shape[1]):
+                if not want["gt_valid"][i, k]:
+                    continue
+                y1, x1, y2, x2 = want["gt_boxes"][i, k]
+                np.testing.assert_allclose(
+                    got["gt_boxes"][i, k], [y1, 1 - x2, y2, 1 - x1], atol=1e-6
+                )
+                # flipped box still bounds the flipped mask (at proto res)
+                m = got["gt_masks"][i, k]
+                ys, xs = np.nonzero(m > 0.5)
+                if len(xs):
+                    h4, w4 = m.shape
+                    assert xs.min() / w4 >= got["gt_boxes"][i, k][1] - 1 / w4 - 1e-6
+                    assert (xs.max() + 1) / w4 <= got["gt_boxes"][i, k][3] + 1 / w4 + 1e-6
+
+    def test_augment_trains(self):
+        from tod_tpu.train import Augmented
+
+        data = Augmented(
+            SyntheticDetectionData(TINY.input_size, batch_size=2, seed=1), seed=2
+        )
+        t = Trainer(TINY, TTRAIN)
+        m = t.train(data, steps=2, log_every=10, log_fn=lambda *_: None)
+        assert np.isfinite(m["loss"])
+
     def test_checkpoint_roundtrip(self, trainer, tmp_path):
         path = tmp_path / "ckpt"
         trainer.save(str(path))

@@ -46,6 +46,11 @@ def main(argv=None) -> int:
         "procedural generator",
     )
     p.add_argument(
+        "--augment", action="store_true",
+        help="label-consistent host-side augmentation (hflip + photometric "
+        "jitter, train/augment.py) over the selected data source",
+    )
+    p.add_argument(
         "--resume", default=None,
         help="resume from a FULL training checkpoint (params + optimizer "
         "state + step, written by --save-full-state) — continues the exact "
@@ -104,6 +109,10 @@ def main(argv=None) -> int:
         data = SyntheticDetectionData(
             mcfg.input_size, batch_size=args.batch, seed=tcfg.seed
         )
+    if args.augment:
+        from tod_tpu.train import Augmented
+
+        data = Augmented(data, seed=tcfg.seed + 1)
     trainer.train(
         data,
         steps=args.steps,

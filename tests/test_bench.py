@@ -13,8 +13,9 @@ class TestBenchRegistry:
         # 1-5 = BASELINE.json configs; 6 = VGA streaming (the reference's
         # native 640x480, src/scene.rs:36-37); 7 = batch throughput + MFU;
         # 8 = latency-bounded serving sweep; 9 = multi-chip DP serving;
-        # 10 = int8 vs bf16 serve step; 11 = train-step throughput
-        assert sorted(CONFIGS) == list(range(1, 12))
+        # 10 = int8 vs bf16 serve step; 11 = train-step throughput;
+        # 12 = wall-clock chunked-training throughput
+        assert sorted(CONFIGS) == list(range(1, 13))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -22,7 +23,7 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "12"])
+            main(["--config", "13"])
 
     def test_config11_train_throughput_cpu(self):
         from tod_tpu.bench.configs import config11_train_throughput

@@ -79,8 +79,15 @@ class TestFrameSources:
         try:
             got = list(src.frames())
             assert len(got) == 4
-            # replay loops: frame 2 == frame 0
-            np.testing.assert_array_equal(got[2].rgb, got[0].rgb)
+            # drop-old ring at 500 fps: under load the consumer may miss
+            # frames, so the loop-order check (got[2] == got[0]) only holds
+            # when nothing was dropped; the unconditional invariant is that
+            # every consumed frame IS one of the two trace frames
+            trace = [f.rgb for f in frames]
+            for g in got:
+                assert any(np.array_equal(g.rgb, t) for t in trace)
+            if src.stats["dropped"] == 0:
+                np.testing.assert_array_equal(got[2].rgb, got[0].rgb)
         finally:
             src.close()
 

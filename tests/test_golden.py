@@ -178,6 +178,37 @@ class TestTrainedCheckpoint:
         # semantic map): pinned checkpoint measures 0.87
         assert m["inst_mask_iou_mean"] >= 0.75, m
 
+    def test_disk_dataset_eval_matches_synthetic(self, tmp_path):
+        """Evaluating against an on-disk export of the SAME held-out scenes
+        (seed 9999) must reproduce the synthetic-eval metrics — the PNG/json
+        round trip is lossless for images and masks and ~1e-7 for boxes, so
+        any drift would mean the disk eval path mis-loads annotations."""
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
+        if not ckpt.exists():
+            pytest.skip("pinned checkpoint not present")
+        from tod_tpu.train.checkpoint import load_checkpoint
+        from tod_tpu.train.dataset import export_dataset
+        from tod_tpu.train.evaluate import (
+            disk_eval_scenes,
+            evaluate,
+            evaluate_engines,
+            make_eval_engines,
+        )
+        from tod_tpu.train.synthetic_data import SyntheticDetectionData
+
+        hw = (240, 320)
+        root = export_dataset(
+            SyntheticDetectionData(hw, batch_size=1, seed=9999), tmp_path / "ds", 4
+        )
+        eng, eng_sem = make_eval_engines(hw, params=load_checkpoint(str(ckpt)))
+        got = evaluate_engines(
+            eng, eng_sem, hw=hw, scenes=disk_eval_scenes(root, hw, 4)
+        )
+        want = evaluate(str(ckpt), n_scenes=4, seed=9999)
+        for k in ("map50", "det_recall_iou50", "det_best_box_iou_mean",
+                  "inst_mask_iou_mean", "detections_per_gt"):
+            assert got[k] == pytest.approx(want[k], abs=2e-3), (k, got[k], want[k])
+
     def test_quantized_engine_matches_float_within_band(self):
         """Int8 end-to-end engine (ModelConfig.quantized) vs the bf16 engine on
         the same pinned weights: per-pixel class maps must agree within the

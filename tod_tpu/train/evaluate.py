@@ -110,17 +110,36 @@ def evaluate(
     return out
 
 
-def evaluate_engines(eng, eng_sem, n_scenes: int = 16, seed: int = 9999, hw=(240, 320)) -> dict:
+def disk_eval_scenes(root, hw, n_scenes: int):
+    """Scene tuples (img, boxes, classes, valid, inst_fullres, sem_fullres)
+    from an on-disk dataset (train/dataset.py layout) — lets the evaluator
+    score a checkpoint against REAL annotated frames, in annotation order."""
+    import numpy as np
+
+    from tod_tpu.train.dataset import DiskDetectionData
+
+    data = DiskDetectionData(root, hw, batch_size=1, shuffle=False)
+    for i in range(min(n_scenes, len(data))):
+        yield data._load_example(data.images[i])
+
+
+def evaluate_engines(
+    eng, eng_sem, n_scenes: int = 16, seed: int = 9999, hw=(240, 320), scenes=None
+) -> dict:
     """Run the held-out metric sweep through prebuilt eval engines.
 
     ``eng.params``/``eng_sem.params`` may be swapped between calls (live
-    training state) without recompiling."""
+    training state) without recompiling.  ``scenes`` overrides the scene
+    supply (an iterable of full-resolution scene tuples, e.g.
+    :func:`disk_eval_scenes`); default is fresh held-out procedural scenes."""
     import numpy as np
 
     from tod_tpu.core.types import Frame
     from tod_tpu.train.synthetic_data import SyntheticDetectionData
 
     data = SyntheticDetectionData(hw, batch_size=1, seed=seed)
+    if scenes is None:
+        scenes = (data._scene() for _ in range(n_scenes))
     ramp = np.linspace(3500, 600, hw[0]).astype(np.uint16)
     depth = np.broadcast_to(ramp[:, None], hw).copy()
 
@@ -131,8 +150,9 @@ def evaluate_engines(eng, eng_sem, n_scenes: int = 16, seed: int = 9999, hw=(240
     ap_scores = {c: [] for c in sem_i}  # flat per-detection scores
     ap_mats = {c: [] for c in sem_i}  # per-scene (n_det_c, n_gt_c) IoU mats
     ap_ngt = {c: 0 for c in sem_i}
-    for _ in range(n_scenes):
-        img, gboxes, gclasses, gvalid, ginst, sem = data._scene()
+    n_scenes = 0
+    for img, gboxes, gclasses, gvalid, ginst, sem in scenes:
+        n_scenes += 1
         frame = Frame(rgb=img, depth=depth)
         _, dets = eng.process(frame)
         _, dets_sem = eng_sem.process(frame)
@@ -247,13 +267,30 @@ def main(argv=None) -> int:
         "calibration + pre-quantized weights, models/prepare.py) — measures "
         "the quantized mode's quality directly, PTQ and QAT checkpoints alike",
     )
+    p.add_argument(
+        "--data", default=None,
+        help="evaluate against an on-disk annotated dataset "
+        "(train/dataset.py layout) instead of held-out procedural scenes",
+    )
     args = p.parse_args(argv)
     mcfg = None
     if args.int8:
         from tod_tpu.core.config import ModelConfig
 
         mcfg = ModelConfig(input_size=(240, 320), quantized=True)
-    out = evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed, mcfg=mcfg)
+    if args.data:
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        hw = mcfg.input_size if mcfg else (240, 320)
+        eng, eng_sem = make_eval_engines(hw, mcfg, params=load_checkpoint(args.ckpt))
+        out = evaluate_engines(
+            eng, eng_sem, hw=hw,
+            scenes=disk_eval_scenes(args.data, hw, args.scenes),
+        )
+        out["checkpoint"] = args.ckpt
+        out["data"] = args.data
+    else:
+        out = evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed, mcfg=mcfg)
     out["mode"] = "static-int8" if args.int8 else "float"
     print(json.dumps(out))
     return 0

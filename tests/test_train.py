@@ -322,6 +322,24 @@ class TestTrainer:
                     assert xs.min() / w4 >= got["gt_boxes"][i, k][1] - 1 / w4 - 1e-6
                     assert (xs.max() + 1) / w4 <= got["gt_boxes"][i, k][3] + 1 / w4 + 1e-6
 
+    def test_metrics_jsonl_record(self, tmp_path):
+        """metrics_path appends one JSON line per log/eval event with kind,
+        step and wall clock — the machine-readable training record."""
+        import json
+
+        t = Trainer(TINY, TTRAIN)
+        data = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=1)
+        mp = tmp_path / "metrics.jsonl"
+        t.train(data, steps=2, log_every=1, log_fn=lambda *_: None,
+                eval_every=2, eval_scenes=1, metrics_path=str(mp))
+        rows = [json.loads(line) for line in mp.read_text().splitlines()]
+        kinds = [r["kind"] for r in rows]
+        assert kinds.count("train") == 2 and kinds.count("eval") == 1
+        for r in rows:
+            assert {"kind", "step", "wall_s"} <= set(r)
+        assert any("map50" in r for r in rows if r["kind"] == "eval")
+        assert all(np.isfinite(r["loss"]) for r in rows if r["kind"] == "train")
+
     def test_augment_trains(self):
         from tod_tpu.train import Augmented
 

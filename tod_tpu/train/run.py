@@ -46,6 +46,11 @@ def main(argv=None) -> int:
         "procedural generator",
     )
     p.add_argument(
+        "--metrics", default=None,
+        help="append one JSON line per log/eval event to this file "
+        "(machine-readable training record)",
+    )
+    p.add_argument(
         "--augment", action="store_true",
         help="label-consistent host-side augmentation (hflip + photometric "
         "jitter, train/augment.py) over the selected data source",
@@ -121,6 +126,7 @@ def main(argv=None) -> int:
         eval_every=args.eval_every,
         eval_scenes=args.eval_scenes,
         best_path=(args.out + "_best") if args.eval_every else None,
+        metrics_path=args.metrics,
     )
     trainer.save(args.out)
     print(f"saved checkpoint to {args.out}")

@@ -129,6 +129,7 @@ class Trainer:
         eval_scenes: int = 8,
         eval_seed: int = 9999,
         best_path: str | None = None,
+        metrics_path: str | None = None,
     ) -> dict:
         """Run ``steps`` optimizer steps.
 
@@ -157,9 +158,25 @@ class Trainer:
         With ``best_path`` set, the checkpoint with the best mAP@.5 seen so
         far is kept there (best-checkpoint keeping).  The returned metrics
         dict gains ``eval_map50`` / ``eval_best_map50``.
+
+        ``metrics_path`` appends one JSON line per log/eval event
+        (``{"kind": "train"|"eval", "step": …, "wall_s": …, …}``) — the
+        machine-readable training record (plot it, diff runs, resume
+        analysis) beside the human log stream.
         """
+        import json
+
         last = {}
         t0 = time.perf_counter()
+        mfile = open(metrics_path, "a") if metrics_path else None
+
+        def _record(kind: str, payload: dict) -> None:
+            if mfile is None:
+                return
+            row = {"kind": kind, "step": int(self.state.step),
+                   "wall_s": round(time.perf_counter() - t0, 3), **payload}
+            mfile.write(json.dumps(row) + "\n")
+            mfile.flush()
         if chunk > 1 and self._chunk_step is None:
             if self._mesh is not None:
                 from tod_tpu.parallel.sharding import shard_chunk_step
@@ -206,6 +223,7 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in last.items())
                     + f" ({rate:.2f} steps/s)"
                 )
+                _record("train", {**last, "steps_per_s": round(rate, 3)})
             if eval_every and (done % eval_every < n or done >= steps):
                 ev = self.evaluate(n_scenes=eval_scenes, seed=eval_seed)
                 m50 = ev.get("map50")
@@ -221,6 +239,9 @@ class Trainer:
                     f"recall50={ev['det_recall_iou50']} "
                     f"sem_iou={ev['sem_iou']} best={self._best_eval:.4f}"
                 )
+                _record("eval", {**ev, "best_map50": self._best_eval})
+        if mfile is not None:
+            mfile.close()
         return last
 
     def evaluate(self, n_scenes: int = 8, seed: int = 9999) -> dict:

@@ -1,0 +1,414 @@
+"""Frozen serving artifacts: the whole pipeline as one deployable file.
+
+The reference's deployment story is a frozen model blob on disk —
+``data/FRC_model_edgetpu.tflite``, loaded by name at src/yolact.rs:18-20 —
+so the robot carries an artifact plus a thin runtime, never the training
+stack.  The TPU-native equivalent is :mod:`jax.export`: the ENTIRE fused
+serving graph (preprocess → YOLACT → detection cleanup → geometry fusion
+[→ on-device planner]) is lowered to StableHLO with the *prepared*
+parameters (BN-folded, optionally static-int8, models/prepare.py) embedded
+as constants, serialized, and reloaded by a runtime that never imports the
+model definitions.  Where the reference froze 141 tflite ops, this freezes
+the full frame→plan program.
+
+File format (one self-contained file, like the tflite blob):
+
+    b"TODX1\\n"  | u64-LE header length | JSON header | StableHLO payload
+
+The JSON header carries the I/O contract (camera dims, packed-buffer
+layout, artifact mode) and provenance (jax version, platforms, config
+summary) so a loader can validate inputs without executing anything.
+
+Artifact modes mirror the Engine's serving graphs (runtime/engine.py):
+
+- ``"plan"``   packed (H·W·5,) u8 frame → (max_steps+1, 2) f32 plan buffer
+               (header row = n_valid/truncated) — the fused frame+plan
+               graph; the host only materializes driving directions.
+- ``"scene"``  packed frame → (height f32 (H,W), balls (N,4) f32) — for
+               hosts that run the native C++ planner.
+- ``"packed"`` packed frame → (H·W·2 + 16·N,) u8 height+balls readback —
+               the wire-compact variant of "scene".
+
+CLI::
+
+    python -m tod_tpu.deploy export --out model.todx [--checkpoint DIR]
+    python -m tod_tpu.deploy info model.todx
+    python -m tod_tpu.deploy serve model.todx --source synthetic --frames 300
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+_MAGIC = b"TODX1\n"
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+def export_engine(engine, mode: str = "plan", platforms=None):
+    """Export one of the engine's fused serving graphs with its prepared
+    params baked in as constants.  Returns ``(jax.export.Exported, meta)``.
+
+    ``platforms``: lowering targets (e.g. ``("tpu", "cpu")``).  ``None`` =
+    the current default backend.  Multi-platform export requires the graph
+    to avoid platform-specific custom calls — build the Engine with
+    ``use_pallas=False`` for portable artifacts.
+    """
+    import jax
+    from jax import export as jexport
+
+    cam = engine.cfg.camera
+    fns = {
+        "plan": engine._serve_step_plan,
+        "scene": engine._serve_step_scene,
+        "packed": engine._serve_step_packed,
+    }
+    if mode not in fns:
+        raise ValueError(f"unknown artifact mode {mode!r} (use plan/scene/packed)")
+    step = fns[mode]
+    params = engine.params
+
+    # Close over the prepared params: captured device arrays become
+    # constants of the exported module (the "frozen weights" of the blob).
+    fn = jax.jit(lambda packed: step(params, packed))
+    spec = jax.ShapeDtypeStruct((cam.height * cam.width * 5,), np.uint8)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jexport.export(fn, **kwargs)(spec)
+
+    pcfg = engine.cfg.planner
+    meta = {
+        "format": 1,
+        "mode": mode,
+        "camera": {"height": cam.height, "width": cam.width},
+        "packed_input_bytes": cam.height * cam.width * 5,
+        "model": {
+            "input_size": list(engine.cfg.model.input_size),
+            "quantized": bool(engine.cfg.model.quantized),
+            "backbone": getattr(engine.cfg.model, "backbone", "mobilenet_v2"),
+        },
+        "planner": {
+            "max_path_steps": pcfg.max_path_steps,
+            "max_seed_balls": pcfg.max_seed_balls,
+        },
+        "engine_mode": engine.mode,
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+        "created_unix": time.time(),
+    }
+    return exported, meta
+
+
+def save_artifact(exported, meta: dict, path: str) -> None:
+    payload = bytes(exported.serialize())
+    header = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        f.write(payload)
+
+
+def read_meta(path: str) -> dict:
+    """Parse only the JSON header (no deserialization, no compile)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a TODX artifact (bad magic {magic!r})")
+        (n,) = struct.unpack("<Q", f.read(8))
+        return json.loads(f.read(n))
+
+
+# ---------------------------------------------------------------------------
+# load + run
+# ---------------------------------------------------------------------------
+
+class ServingArtifact:
+    """A loaded frozen serving graph.
+
+    ``call(packed)`` runs the pipeline on one packed (H·W·5,) u8 frame
+    buffer ([rgb bytes][depth LE-u16 bytes]); output per ``meta['mode']``.
+    The host needs numpy + jax — no tod_tpu model code executes.
+    """
+
+    def __init__(self, exported, meta: dict):
+        import jax
+
+        self.meta = meta
+        self._exported = exported
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, path: str) -> "ServingArtifact":
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            magic = f.read(len(_MAGIC))
+            if magic != _MAGIC:
+                raise ValueError(f"{path}: not a TODX artifact (bad magic {magic!r})")
+            (n,) = struct.unpack("<Q", f.read(8))
+            meta = json.loads(f.read(n))
+            payload = f.read()
+        return cls(jexport.deserialize(bytearray(payload)), meta)
+
+    def call(self, packed):
+        n = self.meta["packed_input_bytes"]
+        if getattr(packed, "shape", None) != (n,):
+            raise ValueError(
+                f"artifact expects a ({n},) u8 packed frame, got "
+                f"{getattr(packed, 'shape', type(packed))}"
+            )
+        return self._call(packed)
+
+    def plan(self, packed):
+        """Frame → Path (``"plan"``-mode artifacts only)."""
+        if self.meta["mode"] != "plan":
+            raise ValueError(f"plan() needs a 'plan' artifact, this is {self.meta['mode']!r}")
+        from tod_tpu.planner.api import materialize_path
+
+        return materialize_path(self.call(packed))
+
+    def unpack_scene(self, out):
+        """Decode a ``"scene"``/``"packed"`` output to (height, balls)."""
+        h = self.meta["camera"]["height"]
+        w = self.meta["camera"]["width"]
+        if self.meta["mode"] == "scene":
+            height, balls = out
+            return np.asarray(height), np.asarray(balls)
+        buf = np.asarray(out)
+        n = h * w * 2
+        return (
+            buf[:n].view(np.float16).reshape(h, w).astype(np.float32),
+            buf[n:].view(np.float32).reshape(-1, 4),
+        )
+
+
+def serve_artifact(
+    artifact: ServingArtifact,
+    source,
+    n_frames: Optional[int] = None,
+    path_store=None,
+    plan_every: int = 4,
+    sync_every: int = 16,
+) -> dict:
+    """Minimal artifact-only streaming loop: frames in, Paths out.
+
+    This is the deployment-host analog of ``Engine.run`` — async dispatch
+    with a periodic sync, fresh plans every ``plan_every`` frames — but it
+    drives the frozen graph, so the serving host never constructs a model.
+    Host planning ("scene"/"packed" artifacts) runs the same planner the
+    Engine uses; "plan" artifacts only materialize the ~8 KB buffer.
+    """
+    import jax
+
+    from tod_tpu.runtime.engine import _UploadWorker
+
+    mode = artifact.meta["mode"]
+    if mode in ("scene", "packed"):
+        from tod_tpu.core.config import PlannerConfig
+        from tod_tpu.planner.api import plan_from_height
+
+        pcfg = PlannerConfig()
+    else:
+        from tod_tpu.planner.api import materialize_path
+
+    uploader = _UploadWorker(source, n_frames)
+    n_done = 0
+    n_planned = 0
+    last_path = None
+    pending_plan = None
+    out_d = None
+    t0 = time.perf_counter()
+    while True:
+        item = uploader.next(timeout=0.25)
+        if item is _UploadWorker.TIMEOUT:
+            continue
+        if item is None:
+            break
+        out_d = artifact.call(item)
+        if plan_every and n_done % plan_every == 0:
+            pending_plan = out_d
+        n_done += 1
+        if n_done % sync_every == 0:
+            jax.block_until_ready(out_d)
+            if pending_plan is not None:
+                if mode == "plan":
+                    last_path = materialize_path(pending_plan)
+                else:
+                    height, balls = artifact.unpack_scene(pending_plan)
+                    last_path = plan_from_height(height, balls, pcfg)
+                n_planned += 1
+                pending_plan = None
+                if path_store is not None and last_path is not None:
+                    path_store.set(last_path)
+    if out_d is not None:
+        jax.block_until_ready(out_d)
+    if pending_plan is not None:
+        if mode == "plan":
+            last_path = materialize_path(pending_plan)
+        else:
+            height, balls = artifact.unpack_scene(pending_plan)
+            last_path = plan_from_height(height, balls, pcfg)
+        n_planned += 1
+        if path_store is not None and last_path is not None:
+            path_store.set(last_path)
+    wall = time.perf_counter() - t0
+    uploader.close()
+    return {
+        "n_frames": n_done,
+        "wall_s": wall,
+        "fps": n_done / wall if wall > 0 else 0.0,
+        "plans_done": n_planned,
+        "last_path_len": len(last_path.directions) if last_path else 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def _cmd_export(args) -> int:
+    import logging
+
+    from tod_tpu.core.config import (
+        CameraConfig,
+        ModelConfig,
+        PipelineConfig,
+        PlannerConfig,
+    )
+    from tod_tpu.runtime.engine import Engine
+
+    cam = CameraConfig(width=args.width, height=args.height)
+    cfg = PipelineConfig(
+        camera=cam,
+        model=ModelConfig(
+            input_size=(args.height // 8 * 8, args.width // 8 * 8),
+            quantized=args.int8,
+        ),
+        planner=PlannerConfig(backend="tpu" if args.mode == "plan" else "auto"),
+    )
+    params = None
+    ckpt = args.checkpoint
+    if ckpt is None:
+        import pathlib
+
+        default = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
+        if default.exists():
+            ckpt = str(default)
+    if ckpt:
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        logging.info("loading checkpoint %s", ckpt)
+        params = load_checkpoint(ckpt)
+    use_pallas = None if not args.portable else False
+    engine = Engine(cfg, params=params, mode=args.engine_mode, use_pallas=use_pallas)
+    platforms = args.platforms.split(",") if args.platforms else None
+    exported, meta = export_engine(engine, mode=args.mode, platforms=platforms)
+    save_artifact(exported, meta, args.out)
+    import os
+
+    print(
+        json.dumps(
+            {"out": args.out, "bytes": os.path.getsize(args.out), **meta}, indent=2
+        )
+    )
+    return 0
+
+
+def _cmd_info(args) -> int:
+    print(json.dumps(read_meta(args.artifact), indent=2))
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    from tod_tpu.core.config import CameraConfig, ServerConfig
+    from tod_tpu.runtime.frame_source import PNGSource, SyntheticSource, TraceSource
+    from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
+
+    art = ServingArtifact.load(args.artifact)
+    cam_meta = art.meta["camera"]
+    cam = CameraConfig(width=cam_meta["width"], height=cam_meta["height"])
+    if args.source == "png":
+        if not args.image:
+            raise SystemExit("--source png requires --image")
+        source = PNGSource(args.image, cam, n_frames=args.frames)
+    elif args.source == "trace":
+        if not args.trace:
+            raise SystemExit("--source trace requires --trace")
+        source = TraceSource(args.trace, loop=True, n_frames=args.frames)
+    else:
+        source = SyntheticSource(cam, n_frames=args.frames)
+    store = PathStore()
+    server_thread = server = None
+    if not args.no_server:
+        server_thread, server = run_in_thread(
+            store, ServerConfig(host=args.host, port=args.port)
+        )
+        print(f"path server on {args.host}:{server.port}")
+    try:
+        metrics = serve_artifact(
+            art, source, n_frames=args.frames, path_store=store,
+            plan_every=args.plan_every,
+        )
+    finally:
+        if server is not None:
+            stop_thread_server(server)
+    print(json.dumps(metrics))
+    return 0
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="tod_tpu.deploy", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("export", help="freeze the fused serving graph to a .todx file")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--checkpoint", help="orbax checkpoint dir (default: pinned)")
+    pe.add_argument("--mode", choices=("plan", "scene", "packed"), default="plan")
+    pe.add_argument("--engine-mode", choices=("detect", "semantic"), default="detect")
+    pe.add_argument("--width", type=int, default=320)
+    pe.add_argument("--height", type=int, default=240)
+    pe.add_argument("--int8", action="store_true", help="freeze the static-int8 graph")
+    pe.add_argument(
+        "--platforms", default=None,
+        help="comma-separated lowering targets, e.g. tpu,cpu (default: current backend)",
+    )
+    pe.add_argument(
+        "--portable", action="store_true",
+        help="build without Pallas custom calls so multi-platform export works",
+    )
+    pe.set_defaults(fn=_cmd_export)
+
+    pi = sub.add_parser("info", help="print an artifact's JSON header")
+    pi.add_argument("artifact")
+    pi.set_defaults(fn=_cmd_info)
+
+    ps = sub.add_parser("serve", help="stream frames through a frozen artifact")
+    ps.add_argument("artifact")
+    ps.add_argument("--source", choices=("synthetic", "png", "trace"), default="synthetic")
+    ps.add_argument("--image")
+    ps.add_argument("--trace")
+    ps.add_argument("--frames", type=int, default=None)
+    ps.add_argument("--plan-every", type=int, default=4)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--no-server", action="store_true")
+    ps.set_defaults(fn=_cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

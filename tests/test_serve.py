@@ -203,3 +203,146 @@ class TestServer:
         n = int.from_bytes(data[:4], "big")
         assert n == 8 + 2 * 8 and len(data) == 4 + n
         s.close()
+
+
+def _make_self_signed(tmp_path, cn="tod-vision-host"):
+    """Self-signed cert/key pair for TLS tests (cryptography lib)."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("localhost")]), critical=False
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_p = tmp_path / f"{cn}.pem"
+    key_p = tmp_path / f"{cn}.key"
+    cert_p.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_p.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_p), str(key_p)
+
+
+class TestHardening:
+    """Opt-in auth + TLS (ServerConfig hardening knobs — extensions beyond
+    the reference, which trusted the robot LAN; docs/roadmap 'serving
+    hardening')."""
+
+    def test_auth_happy_path(self):
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0, auth_token="s3cret"))
+        try:
+            store.set(Path(created=1700000011.0, directions=[(1.0, 0.0)]))
+            with PathClient(port=srv.port, auth_token="s3cret") as c:
+                p = c.get_path()
+                assert p.created == 1700000011.0
+                assert c.new_path()
+            assert srv.counters["AuthTok"] == 1
+            assert srv.counters["unauthorized"] == 0
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_auth_rejects_wrong_token_and_unauthenticated(self):
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0, auth_token="s3cret"))
+        try:
+            # wrong token → connection dropped at the handshake
+            with pytest.raises(OSError):
+                PathClient(port=srv.port, auth_token="wrong")
+            # no handshake at all → first command drops the connection
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+            s.sendall(b"GetPath")
+            assert s.recv(1024) == b""  # server severed it, no reply
+            s.close()
+            assert srv.counters["unauthorized"] == 2
+            assert srv.counters["GetPath"] == 0
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_auth_oversized_token_dropped(self):
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0, auth_token="s3cret"))
+        try:
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+            s.sendall(b"AuthTok" + (1 << 20).to_bytes(4, "big"))
+            assert s.recv(1024) == b""  # dropped before reading 1 MiB
+            s.close()
+            assert srv.counters["unauthorized"] == 1
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_default_config_keeps_wire_parity(self, server):
+        """auth off (the default) → the raw 7-byte protocol is untouched."""
+        store, srv = server
+        store.set(Path(created=1700000012.0, directions=[]))
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(b"GetPath")
+        data = s.recv(1024)
+        assert struct.unpack(">Q", data[:8])[0] == 1700000012
+        s.close()
+
+    def test_tls_roundtrip_and_plaintext_rejected(self, tmp_path):
+        cert, key = _make_self_signed(tmp_path)
+        store = PathStore()
+        t, srv = run_in_thread(
+            store, ServerConfig(port=0, tls_cert=cert, tls_key=key)
+        )
+        try:
+            store.set(Path(created=1700000013.0, directions=[(2.0, 0.5)]))
+            with PathClient(port=srv.port, tls_ca=cert) as c:
+                p = c.get_path_v2()
+            assert p.created == 1700000013.0
+            assert p.directions == [(2.0, 0.5)]
+            # a plaintext client can't speak to a TLS endpoint
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
+            s.sendall(b"GetPath")
+            s.settimeout(2)
+            try:
+                got = s.recv(1024)
+            except TimeoutError:
+                got = b""
+            # whatever comes back, it is a TLS alert/close — never a path
+            assert not got[:8] == struct.pack(">Q", 1700000013)
+            s.close()
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_tls_plus_auth_compose(self, tmp_path):
+        cert, key = _make_self_signed(tmp_path, cn="composed")
+        store = PathStore()
+        t, srv = run_in_thread(
+            store,
+            ServerConfig(port=0, tls_cert=cert, tls_key=key, auth_token="tok"),
+        )
+        try:
+            store.set(Path(created=1700000014.0, directions=[]))
+            with PathClient(port=srv.port, tls_ca=cert, auth_token="tok") as c:
+                assert c.get_path().created == 1700000014.0
+                assert c.get_stats()["requests"]["AuthTok"] == 1
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)

@@ -35,6 +35,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--no-server", action="store_true")
+    p.add_argument(
+        "--auth-token", default=None,
+        help="require the AuthTok handshake before serving commands "
+        "(hardening for non-loopback binds)",
+    )
+    p.add_argument("--tls-cert", default=None, help="serve the protocol over TLS")
+    p.add_argument("--tls-key", default=None)
+    p.add_argument(
+        "--tls-client-ca", default=None,
+        help="require + verify client certificates against this CA (mTLS)",
+    )
     p.add_argument("--planner", choices=("auto", "native", "numpy", "tpu"), default="auto")
     p.add_argument(
         "--int8", action="store_true",
@@ -77,7 +88,14 @@ def main(argv=None) -> int:
             quantized=args.int8,
         ),
         planner=PlannerConfig(backend=args.planner),
-        server=ServerConfig(host=args.host, port=args.port),
+        server=ServerConfig(
+            host=args.host,
+            port=args.port,
+            auth_token=args.auth_token,
+            tls_cert=args.tls_cert,
+            tls_key=args.tls_key,
+            tls_client_ca=args.tls_client_ca,
+        ),
     )
 
     params = None

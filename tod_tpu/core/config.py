@@ -174,10 +174,27 @@ class PlannerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ServerConfig:
-    """TCP control plane (src/path.rs:132-180)."""
+    """TCP control plane (src/path.rs:132-180).
+
+    Defaults keep exact reference wire parity (plaintext, unauthenticated,
+    loopback-only — the reference binds 127.0.0.1 and trusts the LAN).  The
+    hardening knobs below are for deployments exposed beyond localhost; all
+    are opt-in extensions the reference never had:
+
+    - ``auth_token``: when set, a connection must authenticate before any
+      command: 7-byte ``b"AuthTok"`` + u32-BE length + token bytes → ``OK``.
+      Unauthenticated or wrong-token connections are dropped (and counted).
+    - ``tls_cert``/``tls_key``: serve the same protocol over TLS.
+    - ``tls_client_ca``: additionally require + verify client certificates
+      (mutual TLS) against this CA bundle.
+    """
 
     host: str = "127.0.0.1"
     port: int = 8080
+    auth_token: str | None = None
+    tls_cert: str | None = None
+    tls_key: str | None = None
+    tls_client_ca: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)

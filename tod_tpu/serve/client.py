@@ -35,9 +35,31 @@ class PathClient:
         timeout: float = 5.0,
         retries: int = 0,
         backoff: float = 0.1,
+        auth_token: str | None = None,
+        tls_ca: str | None = None,
+        tls_client_cert: str | None = None,
+        tls_client_key: str | None = None,
     ):
+        """Hardening knobs mirror ServerConfig: ``auth_token`` performs the
+        ``AuthTok`` handshake right after every (re)connect; ``tls_ca``
+        switches the connection to TLS and verifies the server against that
+        CA bundle (pass the server's own cert for self-signed deployments);
+        ``tls_client_cert``/``tls_client_key`` present a client certificate
+        for mutual TLS."""
         self.host, self.port, self.timeout = host, port, timeout
         self.retries, self.backoff = retries, backoff
+        self.auth_token = auth_token
+        self._ssl = None
+        if tls_ca:
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=tls_ca)
+            # deployments address the vision host by IP; the CA pin is the
+            # identity check here, not the DNS name
+            ctx.check_hostname = False
+            if tls_client_cert:
+                ctx.load_cert_chain(tls_client_cert, tls_client_key)
+            self._ssl = ctx
         self.sock: socket.socket | None = None
         self._connect()
 
@@ -49,8 +71,21 @@ class PathClient:
                 self.sock = socket.create_connection(
                     (self.host, self.port), timeout=self.timeout
                 )
+                if self._ssl is not None:
+                    self.sock = self._ssl.wrap_socket(
+                        self.sock, server_hostname=self.host
+                    )
+                if self.auth_token is not None:
+                    self.sock.sendall(
+                        b"AuthTok"
+                        + len(self.auth_token.encode()).to_bytes(4, "big")
+                        + self.auth_token.encode()
+                    )
+                    if self._read_exactly(2) != b"OK":
+                        raise ConnectionError("auth handshake rejected")
                 return
             except OSError:
+                self.close()
                 if attempt == self.retries:
                     raise
                 time.sleep(delay)

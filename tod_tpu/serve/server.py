@@ -65,7 +65,10 @@ class PathServer:
         self.cfg = cfg or ServerConfig()
         self.stats_fn = stats_fn
         self._started = time.time()
-        self.counters = {"NewPath": 0, "GetPath": 0, "GetPth2": 0, "GetStat": 0, "errors": 0}
+        self.counters = {
+            "NewPath": 0, "GetPath": 0, "GetPth2": 0, "GetStat": 0,
+            "AuthTok": 0, "unauthorized": 0, "errors": 0,
+        }
         self._server: asyncio.AbstractServer | None = None
         # live connections, so stop() can actually sever them — otherwise a
         # "stopped" server keeps answering pipelined clients stuck in
@@ -75,13 +78,39 @@ class PathServer:
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
         self._writers.add(writer)
+        authed = self.cfg.auth_token is None  # auth off → every conn trusted
         try:
             while True:
                 try:
                     buf = await reader.readexactly(7)
                 except asyncio.IncompleteReadError:
                     return  # socket closed (the Ok(0) branch, src/path.rs:144)
-                if buf == b"NewPath":
+                if buf == b"AuthTok":
+                    # hardening extension: u32-BE length + token bytes; must
+                    # precede any command when ServerConfig.auth_token is set
+                    self.counters["AuthTok"] += 1
+                    n = int.from_bytes(await reader.readexactly(4), "big")
+                    if n > 1024:
+                        self.counters["unauthorized"] += 1
+                        log.error("AuthTok length %d exceeds bound; dropping %s", n, peer)
+                        return
+                    token = await reader.readexactly(n)
+                    import hmac
+
+                    expected = (self.cfg.auth_token or "").encode()
+                    if expected and hmac.compare_digest(token, expected):
+                        authed = True
+                        writer.write(b"OK")
+                        await writer.drain()
+                    else:
+                        self.counters["unauthorized"] += 1
+                        log.error("bad auth token from %s; dropping", peer)
+                        return
+                elif not authed:
+                    self.counters["unauthorized"] += 1
+                    log.error("unauthenticated %r from %s; dropping", buf, peer)
+                    return
+                elif buf == b"NewPath":
                     self.counters["NewPath"] += 1
                     self.store.reset()
                     writer.write(b"OK")
@@ -135,9 +164,22 @@ class PathServer:
                 out["pipeline_error"] = repr(e)
         return out
 
+    def _ssl_context(self):
+        """Server-side SSLContext from ServerConfig, or None (plaintext)."""
+        if not self.cfg.tls_cert:
+            return None
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(self.cfg.tls_cert, self.cfg.tls_key)
+        if self.cfg.tls_client_ca:
+            ctx.verify_mode = ssl.CERT_REQUIRED  # mutual TLS
+            ctx.load_verify_locations(self.cfg.tls_client_ca)
+        return ctx
+
     async def start(self) -> None:
         self._server = await asyncio.start_server(
-            self._handle, self.cfg.host, self.cfg.port
+            self._handle, self.cfg.host, self.cfg.port, ssl=self._ssl_context()
         )
 
     @property

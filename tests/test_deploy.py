@@ -97,6 +97,21 @@ class TestExportRoundTrip:
         assert got["planner"]["max_path_steps"] >= 1
         assert "cpu" in got["platforms"] or "tpu" in got["platforms"]
 
+    def test_portable_multi_platform_export(self, engine, tmp_path):
+        """A CPU host can freeze a ('cpu','tpu') artifact (use_pallas=False
+        keeps the graph free of platform-specific custom calls) — build the
+        deployment blob on a workstation, run it on the robot's TPU."""
+        packed = _packed_frame(7)
+        exported, meta = deploy.export_engine(
+            engine, mode="plan", platforms=("cpu", "tpu")
+        )
+        assert set(meta["platforms"]) == {"cpu", "tpu"}
+        p = tmp_path / "portable.todx"
+        deploy.save_artifact(exported, meta, str(p))
+        art = deploy.ServingArtifact.load(str(p))
+        ref = np.asarray(engine._serve_step_plan(engine.params, packed))
+        np.testing.assert_array_equal(ref, np.asarray(art.call(packed)))
+
     def test_bad_magic_rejected(self, tmp_path):
         p = tmp_path / "junk.todx"
         p.write_bytes(b"NOTTODX" + b"\x00" * 32)

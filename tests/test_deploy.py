@@ -9,6 +9,8 @@ Engine graph → artifact-only streaming with a TCP path server.
 
 import json
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -110,6 +112,29 @@ class TestExportRoundTrip:
         deploy.save_artifact(exported, meta, str(p))
         art = deploy.ServingArtifact.load(str(p))
         ref = np.asarray(engine._serve_step_plan(engine.params, packed))
+        np.testing.assert_array_equal(ref, np.asarray(art.call(packed)))
+
+    def test_int8_artifact_freezes_static_quantized_graph(self, tmp_path):
+        """The reference's deployed blob WAS its u8 graph — freezing the
+        static-int8 serve step (prepared weights + calibrated scales baked
+        as constants) is the strict deployment parity.  Bit-exact replay."""
+        cfg = tiny_cfg("tpu")
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantized=True)
+        )
+        # quantized prepare needs a loaded (non-jit-init) tree: init one
+        # engine for params, then construct the int8 engine from them
+        base = Engine(tiny_cfg("tpu"), mode="detect", seed=7)
+        eng = Engine(cfg, params=jax.tree.map(np.asarray, base.params), mode="detect")
+        packed = _packed_frame(9)
+        ref = np.asarray(eng._serve_step_plan(eng.params, packed))
+        exported, meta = deploy.export_engine(eng, mode="plan")
+        assert meta["model"]["quantized"] is True
+        p = tmp_path / "int8.todx"
+        deploy.save_artifact(exported, meta, str(p))
+        art = deploy.ServingArtifact.load(str(p))
         np.testing.assert_array_equal(ref, np.asarray(art.call(packed)))
 
     def test_bad_magic_rejected(self, tmp_path):

@@ -172,7 +172,11 @@ class TestArtifactServing:
             sync_every=4,
         )
         assert metrics["n_frames"] == 8
-        assert metrics["plans_done"] >= 1
+        # plan_every bounds path STALENESS, not just total count: plan frames
+        # 0/2/4/6 each materialize (previous pending flushed when the next
+        # plan frame dispatches, final one at stream end) — NOT the
+        # sync_every cadence (which would give 2 here)
+        assert metrics["plans_done"] == 4
         # the store carries a real Path object (possibly empty directions on
         # a scene with no reachable ball — planning still ran)
         assert store.get().created > 0

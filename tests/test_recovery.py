@@ -66,9 +66,9 @@ class TestSupervisedRecovery:
             factory, n_frames=8, max_restarts=2, stall_timeout_s=1.0,
             sync_every=4, plan_every=2,
         )
-        for src in made:
-            if hasattr(src, "close"):
-                src.close()
+        # the supervisor must tear the WEDGED source down itself before
+        # opening its replacement (a leaked camera handle blocks reopen)
+        assert made[0]._closed, "run_supervised leaked the stalled source"
         assert metrics["restarts"] == 1, metrics
         assert metrics["n_frames"] == 8, metrics
         assert eng.restarts == 1
@@ -98,8 +98,7 @@ class TestSupervisedRecovery:
         metrics = eng.run_supervised(
             always_hanging, n_frames=100, max_restarts=2, stall_timeout_s=0.8,
         )
-        for src in made:
-            src.close()
+        assert all(s._closed for s in made), "supervisor leaked a source"
         assert metrics["restarts"] == 2  # gave up after the bound
         assert metrics["n_frames"] == 3  # one good frame per attempt
         assert time.monotonic() - t0 < 60

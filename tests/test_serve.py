@@ -294,6 +294,23 @@ class TestHardening:
             stop_thread_server(srv)
             t.join(timeout=5)
 
+    def test_auth_client_against_no_auth_server(self):
+        """Rolling hardening rollout: clients get their token configured
+        before the server does.  A no-auth server must accept the AuthTok
+        handshake as a no-op (reply OK) — not drop the connection."""
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0))  # auth OFF
+        try:
+            store.set(Path(created=1700000013.0, directions=[(2.0, 0.5)]))
+            with PathClient(port=srv.port, auth_token="s3cret") as c:
+                p = c.get_path()
+                assert p.created == 1700000013.0
+                assert c.new_path()
+            assert srv.counters["unauthorized"] == 0
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
     def test_default_config_keeps_wire_parity(self, server):
         """auth off (the default) → the raw 7-byte protocol is untouched."""
         store, srv = server

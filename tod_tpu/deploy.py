@@ -179,17 +179,17 @@ class ServingArtifact:
 
     def unpack_scene(self, out):
         """Decode a ``"scene"``/``"packed"`` output to (height, balls)."""
-        h = self.meta["camera"]["height"]
-        w = self.meta["camera"]["width"]
         if self.meta["mode"] == "scene":
             height, balls = out
             return np.asarray(height), np.asarray(balls)
-        buf = np.asarray(out)
-        n = h * w * 2
-        return (
-            buf[:n].view(np.float16).reshape(h, w).astype(np.float32),
-            buf[n:].view(np.float32).reshape(-1, 4),
+        from tod_tpu.ops.packing import unpack_height_balls
+
+        height, balls = unpack_height_balls(
+            np.asarray(out),
+            self.meta["camera"]["height"],
+            self.meta["camera"]["width"],
         )
+        return height.astype(np.float32), balls
 
 
 def serve_artifact(
@@ -227,6 +227,18 @@ def serve_artifact(
     last_path = None
     pending_plan = None
     out_d = None
+
+    def _flush_plan(out):
+        nonlocal last_path, n_planned
+        if mode == "plan":
+            last_path = materialize_path(out)
+        else:
+            height, balls = artifact.unpack_scene(out)
+            last_path = plan_from_height(height, balls, pcfg)
+        n_planned += 1
+        if path_store is not None and last_path is not None:
+            path_store.set(last_path)
+
     t0 = time.perf_counter()
     while True:
         item = uploader.next(timeout=0.25)
@@ -236,31 +248,20 @@ def serve_artifact(
             break
         out_d = artifact.call(item)
         if plan_every and n_done % plan_every == 0:
+            # materialize the PREVIOUS plan-frame output now — it has had
+            # plan_every frames of dispatch overlap, so this rarely blocks,
+            # and path staleness stays bounded by ~plan_every frames (the
+            # Engine.run contract) instead of the sync_every batch cadence
+            if pending_plan is not None:
+                _flush_plan(pending_plan)
             pending_plan = out_d
         n_done += 1
         if n_done % sync_every == 0:
             jax.block_until_ready(out_d)
-            if pending_plan is not None:
-                if mode == "plan":
-                    last_path = materialize_path(pending_plan)
-                else:
-                    height, balls = artifact.unpack_scene(pending_plan)
-                    last_path = plan_from_height(height, balls, pcfg)
-                n_planned += 1
-                pending_plan = None
-                if path_store is not None and last_path is not None:
-                    path_store.set(last_path)
     if out_d is not None:
         jax.block_until_ready(out_d)
     if pending_plan is not None:
-        if mode == "plan":
-            last_path = materialize_path(pending_plan)
-        else:
-            height, balls = artifact.unpack_scene(pending_plan)
-            last_path = plan_from_height(height, balls, pcfg)
-        n_planned += 1
-        if path_store is not None and last_path is not None:
-            path_store.set(last_path)
+        _flush_plan(pending_plan)
     wall = time.perf_counter() - t0
     uploader.close()
     return {

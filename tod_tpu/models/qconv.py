@@ -154,13 +154,16 @@ class Conv8(nn.Module):
             bias = (
                 self.get_variable("params", "bias") if self.use_bias else None
             )
-            # quantize in bf16: integers ≤ 256 are exact in bf16 (8 mantissa
-            # bits), so round/clip to ±127 loses nothing vs f32 while halving
-            # the elementwise pass's memory traffic
+            # quantize in f32: the x·(1/sx) product must be computed at f32
+            # before rounding so the chosen bin matches the f32 math used by
+            # calibration (prepare.calibrate_amax) and QAT's fake_quantize —
+            # a bf16 product carries ~2⁻⁹ relative error, enough to flip the
+            # bin for a fraction of top-octave activations.  This pass is
+            # memory-bound (read bf16 x, write s8 xq) and the f32 intermediate
+            # stays in registers inside the fusion, so compute dtype does not
+            # change its traffic.
             xq = jnp.clip(
-                jnp.round(x.astype(jnp.bfloat16) * (1.0 / sx).astype(jnp.bfloat16)),
-                -127,
-                127,
+                jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127, 127
             ).astype(jnp.int8)
             if native:
                 acc = self._conv(xq, wq, strides, preferred=jnp.int32).astype(

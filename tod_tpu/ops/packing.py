@@ -74,3 +74,21 @@ def u16_to_class_id(words):
     raw = ((words >> 8) & 0xFF).astype(jnp.int32)
     ids = jnp.where(raw == 0xFF, -1, raw)
     return cls, ids
+
+
+def unpack_height_balls(buf, h: int, w: int):
+    """Host-side inverse of the serving step's packed scene readback:
+    ``[h·w·2 bytes f16 height][16·N bytes f32 (y, x, count, id) balls]``.
+
+    ONE shared decode of the wire-compact layout emitted by
+    ``Engine._serve_step_packed`` — used by the Engine's host-planner path
+    and by frozen-artifact loaders (tod_tpu/deploy.py), so the byte
+    contract has a single owner.  Returns ``(height f16 (h, w) view,
+    balls f32 (N, 4))`` as numpy arrays backed by ``buf``.
+    """
+    import numpy as np
+
+    n = h * w * 2
+    height = buf[:n].view(np.float16).reshape(h, w)
+    balls = buf[n:].view(np.float32).reshape(-1, 4)
+    return height, balls

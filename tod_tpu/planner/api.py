@@ -139,17 +139,27 @@ def dispatch_plan_device(
     )
 
 
+_warned_truncated = False
+
+
 def materialize_path(plan_dev) -> Path:
     """Read back a dispatched device plan (ONE ~8 KB transfer) into a Path."""
     buf = np.asarray(plan_dev)
     n = int(buf[0, 0])
     truncated = bool(buf[0, 1] > 0)
     if truncated:
-        import logging
+        # warn ONCE per process: a persistently-distant target would
+        # otherwise emit this on every plan (~20+/s in the serving hot
+        # path); Path.truncated carries the per-plan signal
+        global _warned_truncated
+        if not _warned_truncated:
+            _warned_truncated = True
+            import logging
 
-        logging.getLogger(__name__).warning(
-            "device plan truncated at %d steps (PlannerConfig.max_path_steps)", n
-        )
+            logging.getLogger(__name__).warning(
+                "device plan truncated at %d steps (PlannerConfig.max_path_steps);"
+                " further truncations reported via Path.truncated only", n
+            )
     dirs = buf[1 : 1 + n]
     return Path(
         created=time.time(),

@@ -15,6 +15,7 @@ explicit double-buffering that the reference built from tokio queues
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, Iterator, Optional
 
@@ -31,6 +32,13 @@ from tod_tpu.ops.postprocess import semantic_argmax, upsample_nearest
 from tod_tpu.ops.preprocess import preprocess_frame, upscale_to_frame
 from tod_tpu.runtime.profiler import FPSMeter, StageTimer
 from tod_tpu.serve.server import PathStore
+
+
+def _call_quietly(fn) -> None:
+    try:
+        fn()
+    except Exception:
+        pass
 
 
 class Engine:
@@ -273,11 +281,9 @@ class Engine:
 
     def _unpack_plan_buffer(self, buf: np.ndarray):
         """Host-side inverse of the serving step's output packing."""
-        h, w = self.cfg.camera.height, self.cfg.camera.width
-        n = h * w * 2
-        height = buf[:n].view(np.float16).reshape(h, w)
-        balls = buf[n:].view(np.float32).reshape(-1, 4)
-        return height, balls
+        from tod_tpu.ops.packing import unpack_height_balls
+
+        return unpack_height_balls(buf, self.cfg.camera.height, self.cfg.camera.width)
 
     def warmup(self) -> float:
         """Compile the graph on a dummy frame; returns compile seconds."""
@@ -297,6 +303,11 @@ class Engine:
             jax.block_until_ready(hb)
             plan = self._serve_step_plan(self.params, _packed())
             jax.block_until_ready(plan)
+            # the plan_every=None path dispatches the STANDALONE plan graph
+            # (planner.api.dispatch_plan_device) at sync points — a separate
+            # jit cache from the fused _serve_step_plan above, so warm it too
+            # or the first sync point pays a full XLA compile mid-run
+            jax.block_until_ready(self._plan_payload(hb))
         else:
             out = self._serve_step_packed(self.params, _packed())
             jax.block_until_ready(out)
@@ -439,7 +450,12 @@ class Engine:
                 self.timer.record("frame", per_frame)
                 self.fps.tick()
         # streaming rate = frame loop only; the planner's final drain (below)
-        # is reported separately so fps isn't under-counted by its tail
+        # is reported separately so fps isn't under-counted by its tail.
+        # The watchdog guards FRAME progress — stop it here so a slow final
+        # drain (batch sync + planner finish) on a completed run can't be
+        # miscounted as a stall and trigger a spurious supervised restart.
+        if watchdog is not None:
+            watchdog.stop()
         wall = time.perf_counter() - t_start
         uploader.close()
         sampler.finish()
@@ -492,9 +508,10 @@ class Engine:
         while True:
             wd = Watchdog(timeout_s=stall_timeout_s, on_stall=lambda age: self.abort())
             wd.start()
+            source = source_factory()
             try:
                 m = self.run(
-                    source_factory(),
+                    source,
                     n_frames=(None if n_frames is None else n_frames - total["n_frames"]),
                     path_store=path_store,
                     warmup=warm,
@@ -503,6 +520,17 @@ class Engine:
                 )
             finally:
                 wd.stop()
+                # actually tear the source down before replacing it — a
+                # leaked camera handle blocks the fresh source from opening
+                # the device.  A WEDGED source's close() may itself hang, so
+                # close on a daemon thread with a short grace period.
+                closer = threading.Thread(
+                    target=lambda: _call_quietly(source.close),
+                    daemon=True,
+                    name="tod-source-closer",
+                )
+                closer.start()
+                closer.join(timeout=2.0)
             warm = False
             total["n_frames"] += m["n_frames"]
             total["wall_s"] += m["wall_s"]
@@ -604,11 +632,8 @@ class _PlannerWorker:
             self._cv.notify()
 
     def _loop(self) -> None:
-        from tod_tpu.planner.api import plan_directions_device, plan_from_height
-        from tod_tpu.planner.dijkstra import start_node_yx
+        from tod_tpu.planner.api import materialize_path, plan_from_height
 
-        cam = self.engine.cfg.camera
-        start = start_node_yx((cam.height, cam.width))
         while True:
             with self._cv:
                 while self._slot is None and not self._stop:
@@ -621,8 +646,6 @@ class _PlannerWorker:
                 if self.engine._plan_on_device_mode:
                     # plan graph already dispatched at the sync point (main
                     # thread); materialize the ~8 KB direction list
-                    from tod_tpu.planner.api import materialize_path
-
                     path = materialize_path(out_d)
                 else:
                     # single readback (usually already prefetched to host by

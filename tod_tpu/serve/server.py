@@ -97,8 +97,14 @@ class PathServer:
                     token = await reader.readexactly(n)
                     import hmac
 
-                    expected = (self.cfg.auth_token or "").encode()
-                    if expected and hmac.compare_digest(token, expected):
+                    if self.cfg.auth_token is None:
+                        # auth off: accept the handshake as a no-op so clients
+                        # configured with a token interoperate with a server
+                        # that trusts every connection anyway (rolling
+                        # hardening rollouts configure clients first)
+                        writer.write(b"OK")
+                        await writer.drain()
+                    elif hmac.compare_digest(token, self.cfg.auth_token.encode()):
                         authed = True
                         writer.write(b"OK")
                         await writer.drain()

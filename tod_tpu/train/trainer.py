@@ -227,19 +227,24 @@ class Trainer:
             if eval_every and (done % eval_every < n or done >= steps):
                 ev = self.evaluate(n_scenes=eval_scenes, seed=eval_seed)
                 m50 = ev.get("map50")
-                score = m50 if m50 is not None else ev["det_best_box_iou_mean"]
-                last["eval_map50"] = float(score)
+                # map50 is None when no detection clears the score threshold
+                # (early training): report NaN rather than silently
+                # substituting an incomparable metric, and never let such an
+                # eval claim the best-checkpoint slot over a real mAP.
+                score = float("-inf") if m50 is None else float(m50)
+                last["eval_map50"] = float("nan") if m50 is None else float(m50)
                 if score > self._best_eval:
-                    self._best_eval = float(score)
+                    self._best_eval = score
                     if best_path is not None:
                         self.save(best_path)
-                last["eval_best_map50"] = self._best_eval
+                best = None if self._best_eval == float("-inf") else self._best_eval
+                last["eval_best_map50"] = float("nan") if best is None else best
                 log_fn(
                     f"eval @ step {int(self.state.step)}: map50={m50} "
                     f"recall50={ev['det_recall_iou50']} "
-                    f"sem_iou={ev['sem_iou']} best={self._best_eval:.4f}"
+                    f"sem_iou={ev['sem_iou']} best={best}"
                 )
-                _record("eval", {**ev, "best_map50": self._best_eval})
+                _record("eval", {**ev, "best_map50": best})
         if mfile is not None:
             mfile.close()
         return last

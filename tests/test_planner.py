@@ -106,6 +106,56 @@ class TestDirections:
         for m, r in dirs[1:]:
             assert r == pytest.approx(math.pi, abs=1e-5)
 
+    def test_signed_turns_straight_line_is_zero(self):
+        """PlannerConfig.signed_turns intent semantics: straight ahead = 0
+        (the reference-parity unsigned form reads π for the same path)."""
+        hm = np.zeros((8, 5), np.float32)
+        s = _scene_from_height(hm, ball_yx=(1, 2))
+        dist, parent = dijkstra_grid(s.height, s.connections, [(1, 2)])
+        dirs = extract_directions(dist, parent, s.pos, (7, 2), signed=True)
+        assert len(dirs) == 6
+        for _m, r in dirs:
+            assert r == pytest.approx(0.0, abs=1e-6)  # walking straight up
+
+    def test_signed_turns_encode_left_vs_right(self):
+        """A ball up-and-right of the start yields a positive (toward +x)
+        first turn; up-and-left a negative one — the drivable property the
+        unsigned acos destroys (src/path.rs:105-110)."""
+        hm = np.zeros((12, 12), np.float32)
+        for bx, sign in ((9, 1.0), (1, -1.0)):
+            s = _scene_from_height(hm, ball_yx=(2, bx))
+            dist, parent = dijkstra_grid(s.height, s.connections, [(2, bx)])
+            dirs = extract_directions(dist, parent, s.pos, (11, 5), signed=True)
+            assert dirs and math.copysign(1.0, dirs[0][1]) == sign
+
+    def test_signed_turns_agree_across_backends(self):
+        """numpy, host tpu-walk, and the fused device walk emit the SAME
+        signed direction list (same plan_from_height inputs)."""
+        import jax.numpy as jnp
+
+        from tod_tpu.planner.api import plan_directions_device, plan_from_height
+
+        hm = np.zeros((24, 32), np.float32)
+        hm[10:14, 8:12] = 30.0  # a bump to detour around
+        balls = np.zeros((8, 4), np.float32)
+        balls[0] = [22.0, 4.0, 25.0, 1.0]
+        cfg = PlannerConfig(backend="numpy", signed_turns=True)
+        ref = np.asarray(plan_from_height(hm, balls, cfg).directions)
+        tpu = np.asarray(
+            plan_from_height(
+                hm, balls, PlannerConfig(backend="tpu", signed_turns=True)
+            ).directions
+        )
+        dev = np.asarray(
+            plan_directions_device(
+                jnp.asarray(hm), jnp.asarray(balls),
+                PlannerConfig(backend="tpu", signed_turns=True),
+            ).directions
+        )
+        assert ref.shape == tpu.shape == dev.shape
+        np.testing.assert_allclose(ref, tpu, atol=1e-5)
+        np.testing.assert_allclose(ref, dev, atol=1e-4)
+
     def test_unreachable_start_gives_empty(self):
         hm = np.zeros((6, 6), np.float32)
         pos, conns = connection_weights(jnp.asarray(hm))

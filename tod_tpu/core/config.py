@@ -154,6 +154,11 @@ class PlannerConfig:
 
     max_seed_balls: int = 3
     backend: str = "auto"  # "auto" | "native" | "numpy" | "tpu"
+    # Start-node column offset from the grid's right edge: the reference's
+    # START_NODE is H·W−240 → column W−240 (src/path.rs:93) — center on its
+    # 640-wide grid only by accident of the constant.  Deployments where the
+    # robot sits under the camera center set this to W/2 (tod_tpu/sim does).
+    start_offset: int = 240
     tpu_max_iters: int = 2048  # Bellman-Ford iteration cap for the TPU backend
     # device path-walk step cap (plan_on_device): must exceed the longest
     # expected path; a straight VGA diagonal is ~640 hops and obstacle
@@ -170,6 +175,17 @@ class PlannerConfig:
     # differently than the forward-only walk; total cost is gated equal in
     # tests/test_planner.py.
     bidirectional: bool = True
+    # Direction semantics.  False (default) = reference parity: rotation is
+    # the UNSIGNED angle between the backward and forward segments at each
+    # node (acos, src/path.rs:105-110 — straight ahead reads π, and left vs
+    # right is indistinguishable), first rotation fixed at 0.  True = the
+    # drivable turn-chain intent: rotation[i] is the SIGNED turn (atan2,
+    # positive = toward +x / image right, 0 = straight) from the current
+    # heading to hop i's segment, with rotation[0] measured from the robot's
+    # initial facing (up the map).  A controller executes the signed list as
+    # "turn rotation[i], then advance magnitude[i]" (tod_tpu/sim follows it
+    # closed-loop).  Wire format is unchanged — only the angle values differ.
+    signed_turns: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

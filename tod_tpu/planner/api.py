@@ -58,7 +58,7 @@ def plan_from_height(
     )
     if not seeds:
         return Path(created=time.time(), directions=[])
-    start = start_node_yx(hw)
+    start = start_node_yx(hw, offset=cfg.start_offset)
 
     backend = cfg.backend
     if backend not in ("auto", "native", "numpy", "tpu"):
@@ -84,7 +84,9 @@ def plan_from_height(
             pos = _pos_from_height(height)
             return Path(
                 created=time.time(),
-                directions=extract_directions(dist, parent, pos, start),
+                directions=extract_directions(
+                    dist, parent, pos, start, signed=cfg.signed_turns
+                ),
             )
         if backend == "native":
             raise RuntimeError("native planner backend requested but libtodtpu unavailable")
@@ -107,13 +109,16 @@ def plan_from_height(
         pos = _pos_from_height(height)
         return Path(
             created=time.time(),
-            directions=extract_directions_from_next(dist, next_dir, pos, start),
+            directions=extract_directions_from_next(
+                dist, next_dir, pos, start, signed=cfg.signed_turns
+            ),
         )
     conns = _connections_from_height(height)
     dist, parent = dijkstra_grid(height, conns, seeds)
     pos = _pos_from_height(height)
     return Path(
-        created=time.time(), directions=extract_directions(dist, parent, pos, start)
+        created=time.time(),
+        directions=extract_directions(dist, parent, pos, start, signed=cfg.signed_turns),
     )
 
 
@@ -129,13 +134,14 @@ def dispatch_plan_device(
     from tod_tpu.planner.tpu_relax import plan_on_device
 
     h, w = height_dev.shape
-    start = start_yx or start_node_yx((h, w))
+    start = start_yx or start_node_yx((h, w), offset=cfg.start_offset)
     return plan_on_device(
         height_dev, balls_dev, start,
         max_seeds=cfg.max_seed_balls,
         min_pixels=cfg.min_ball_pixels,
         max_steps=cfg.max_path_steps,
         max_iters=cfg.tpu_max_iters,
+        signed=cfg.signed_turns,
     )
 
 
@@ -198,7 +204,7 @@ def plan(scene: Scene, cfg: PlannerConfig | None = None) -> Path:
     balls = np.asarray(scene.balls, np.float32)
     hw = height.shape
     seeds = seeds_from_balls(balls, cfg.max_seed_balls, hw, min_pixels=cfg.min_ball_pixels)
-    start = start_node_yx(hw)
+    start = start_node_yx(hw, offset=cfg.start_offset)
     if not seeds:
         return Path(created=time.time(), directions=[])
 
@@ -212,7 +218,7 @@ def plan(scene: Scene, cfg: PlannerConfig | None = None) -> Path:
         from tod_tpu.planner.native import dijkstra_native
 
         dist, parent = dijkstra_native(height, connections, seeds)
-        directions = extract_directions(dist, parent, pos, start)
+        directions = extract_directions(dist, parent, pos, start, signed=cfg.signed_turns)
     elif backend == "tpu":
         import jax.numpy as jnp
 
@@ -230,10 +236,12 @@ def plan(scene: Scene, cfg: PlannerConfig | None = None) -> Path:
             jnp.asarray(seed_mask),
             max_iters=cfg.tpu_max_iters,
         )
-        directions = extract_directions_from_next(dist, next_dir, pos, start)
+        directions = extract_directions_from_next(
+            dist, next_dir, pos, start, signed=cfg.signed_turns
+        )
     elif backend == "numpy":
         dist, parent = dijkstra_grid(height, connections, seeds)
-        directions = extract_directions(dist, parent, pos, start)
+        directions = extract_directions(dist, parent, pos, start, signed=cfg.signed_turns)
     else:
         raise ValueError(f"unknown planner backend {backend!r}")
 

@@ -94,34 +94,59 @@ def extract_directions(
     pos: np.ndarray,
     start_yx: tuple[int, int],
     max_steps: int | None = None,
+    signed: bool = False,
 ):
     """Walk the parent chain from the start node, emitting (magnitude, rotation)
-    per hop (src/path.rs:93-111 semantics, ground-plane angles)."""
+    per hop.
+
+    ``signed=False`` (default) reproduces the reference's semantics verbatim
+    (src/path.rs:93-111): rotation = UNSIGNED acos between the backward and
+    forward ground-plane segments at each node (straight ahead = π, left and
+    right indistinguishable), first rotation = 0.
+
+    ``signed=True`` is the drivable turn-chain intent
+    (PlannerConfig.signed_turns): rotation[i] = signed atan2 turn from the
+    current heading to hop i's segment (0 = straight, positive = toward +x),
+    heading starts at the robot's facing (0, −1) — up the map — and follows
+    each hop.  "Turn rotation[i], advance magnitude[i]" then traces the path.
+    """
     h, w = dist.shape
     y, x = start_yx
     if not np.isfinite(dist[y, x]):
         return []
     directions = []
     rotation = 0.0
+    hx, hz = 0.0, -1.0  # signed mode: initial facing, up the map
     steps = 0
     limit = max_steps if max_steps is not None else h * w
     while parent[y, x] >= 0 and steps < limit:
         p = int(parent[y, x])
         py, px = divmod(p, w)
         magnitude = float(dist[y, x] - dist[py, px])
-        directions.append((magnitude, float(rotation)))
-        # turning angle for the NEXT hop, between segment (prev←cur) and
-        # (next←cur), in the ground plane (pos components x=0, y=2)
-        pp = int(parent[py, px]) if parent[py, px] >= 0 else p
-        gy, gx = divmod(pp, w)
-        a = (pos[y, x, 0] - pos[py, px, 0], pos[y, x, 2] - pos[py, px, 2])
-        b = (pos[gy, gx, 0] - pos[py, px, 0], pos[gy, gx, 2] - pos[py, px, 2])
-        na, nb = math.hypot(*a), math.hypot(*b)
-        if na > 0 and nb > 0:
-            cosang = max(-1.0, min(1.0, (a[0] * b[0] + a[1] * b[1]) / (na * nb)))
-            rotation = math.acos(cosang)
+        if signed:
+            # hop segment in the ground plane (pos components x=0, z=2)
+            sx = float(pos[py, px, 0] - pos[y, x, 0])
+            sz = float(pos[py, px, 2] - pos[y, x, 2])
+            if sx != 0.0 or sz != 0.0:
+                rotation = math.atan2(hx * sz - hz * sx, hx * sx + hz * sz)
+                hx, hz = sx, sz
+            else:
+                rotation = 0.0
+            directions.append((magnitude, float(rotation)))
         else:
-            rotation = 0.0
+            directions.append((magnitude, float(rotation)))
+            # turning angle for the NEXT hop, between segment (prev←cur) and
+            # (next←cur), in the ground plane (pos components x=0, y=2)
+            pp = int(parent[py, px]) if parent[py, px] >= 0 else p
+            gy, gx = divmod(pp, w)
+            a = (pos[y, x, 0] - pos[py, px, 0], pos[y, x, 2] - pos[py, px, 2])
+            b = (pos[gy, gx, 0] - pos[py, px, 0], pos[gy, gx, 2] - pos[py, px, 2])
+            na, nb = math.hypot(*a), math.hypot(*b)
+            if na > 0 and nb > 0:
+                cosang = max(-1.0, min(1.0, (a[0] * b[0] + a[1] * b[1]) / (na * nb)))
+                rotation = math.acos(cosang)
+            else:
+                rotation = 0.0
         y, x = py, px
         steps += 1
     return directions

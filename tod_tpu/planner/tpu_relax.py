@@ -80,7 +80,7 @@ def bellman_ford_grid(height, connections, seed_mask, max_iters: int = 2048):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("start_yx", "max_seeds", "min_pixels", "max_steps", "max_iters"),
+    static_argnames=("start_yx", "max_seeds", "min_pixels", "max_steps", "max_iters", "signed"),
 )
 def plan_on_device(
     height,
@@ -90,6 +90,7 @@ def plan_on_device(
     min_pixels: float = 3.0,
     max_steps: int = 1024,
     max_iters: int = 2048,
+    signed: bool = False,
 ):
     """The WHOLE planning stage as one device graph: ball slots → seeds →
     Bellman-Ford relaxation → next-hop path walk → (magnitude, rotation) list.
@@ -142,35 +143,61 @@ def plan_on_device(
         return jnp.where(d >= 0, (y + step[0]) * w + (x + step[1]), lin)
 
     def body(i, carry):
-        cur, rotation, out, n = carry
+        cur, rotation, hx, hz, out, n = carry
         d = nd_flat[cur]
         alive = d >= 0
         nxt = hop(cur)
         mag = dist_flat[cur] - dist_flat[nxt]
-        out = out.at[i].set(
-            jnp.where(alive, jnp.stack([mag, rotation]), jnp.zeros(2))
-        )
-        # turning angle for the NEXT hop: segments (cur←nxt) and (nn←nxt) in
-        # the ground plane (grid x, grid y)
-        nn = hop(nxt)
-        ax = (cur % w - nxt % w).astype(jnp.float32)
-        ay = (cur // w - nxt // w).astype(jnp.float32)
-        bx = (nn % w - nxt % w).astype(jnp.float32)
-        by = (nn // w - nxt // w).astype(jnp.float32)
-        na = jnp.sqrt(ax * ax + ay * ay)
-        nb = jnp.sqrt(bx * bx + by * by)
-        cosang = jnp.clip((ax * bx + ay * by) / jnp.maximum(na * nb, 1e-12), -1.0, 1.0)
-        rotation = jnp.where((na > 0) & (nb > 0), jnp.arccos(cosang), 0.0)
+        if signed:
+            # drivable turn-chain semantics (PlannerConfig.signed_turns):
+            # signed atan2 turn from the carried heading to THIS hop's
+            # segment, heading follows the hop — matches
+            # dijkstra.extract_directions(signed=True)
+            sx = (nxt % w - cur % w).astype(jnp.float32)
+            sz = (nxt // w - cur // w).astype(jnp.float32)
+            moved = (sx != 0.0) | (sz != 0.0)
+            turn = jnp.where(
+                moved, jnp.arctan2(hx * sz - hz * sx, hx * sx + hz * sz), 0.0
+            )
+            out = out.at[i].set(
+                jnp.where(alive, jnp.stack([mag, turn]), jnp.zeros(2))
+            )
+            hx = jnp.where(alive & moved, sx, hx)
+            hz = jnp.where(alive & moved, sz, hz)
+        else:
+            out = out.at[i].set(
+                jnp.where(alive, jnp.stack([mag, rotation]), jnp.zeros(2))
+            )
+            # turning angle for the NEXT hop: segments (cur←nxt) and (nn←nxt)
+            # in the ground plane (grid x, grid y)
+            nn = hop(nxt)
+            ax = (cur % w - nxt % w).astype(jnp.float32)
+            ay = (cur // w - nxt // w).astype(jnp.float32)
+            bx = (nn % w - nxt % w).astype(jnp.float32)
+            by = (nn // w - nxt // w).astype(jnp.float32)
+            na = jnp.sqrt(ax * ax + ay * ay)
+            nb = jnp.sqrt(bx * bx + by * by)
+            cosang = jnp.clip((ax * bx + ay * by) / jnp.maximum(na * nb, 1e-12), -1.0, 1.0)
+            rotation = jnp.where((na > 0) & (nb > 0), jnp.arccos(cosang), 0.0)
         return (
             jnp.where(alive, nxt, cur),
             rotation,
+            hx,
+            hz,
             out,
             n + alive.astype(jnp.int32),
         )
 
     reached = jnp.isfinite(jnp.where(dist_flat[start_lin] >= _INF, jnp.inf, dist_flat[start_lin]))
-    init = (start_lin, jnp.float32(0.0), jnp.zeros((max_steps, 2), jnp.float32), jnp.int32(0))
-    cur, _, out, n = jax.lax.fori_loop(0, max_steps, body, init)
+    init = (
+        start_lin,
+        jnp.float32(0.0),
+        jnp.float32(0.0),   # heading x: initial facing (0, -1), up the map
+        jnp.float32(-1.0),  # heading z
+        jnp.zeros((max_steps, 2), jnp.float32),
+        jnp.int32(0),
+    )
+    cur, _, _, _, out, n = jax.lax.fori_loop(0, max_steps, body, init)
     n = jnp.where(reached, n, 0)
     out = jnp.where(reached, out, jnp.zeros_like(out))
     # Truncation flag: the walk ran out of steps while still mid-path (the
@@ -185,7 +212,9 @@ def plan_on_device(
     return jnp.concatenate([header, out], axis=0)
 
 
-def extract_directions_from_next(dist, next_dir, pos, start_yx, max_steps=None):
+def extract_directions_from_next(
+    dist, next_dir, pos, start_yx, max_steps=None, signed=False
+):
     """Host-side path walk for the TPU backend (mirrors
     dijkstra.extract_directions but follows direction indices)."""
     import numpy as np
@@ -201,4 +230,6 @@ def extract_directions_from_next(dist, next_dir, pos, start_yx, max_steps=None):
         dy, dx = NEIGHBOR_OFFSETS[next_dir[y, x]]
         parent[y, x] = (y + dy) * w + (x + dx)
     dist = np.where(dist >= 3.4e38, np.inf, dist)
-    return extract_directions(dist, parent, np.asarray(pos), start_yx, max_steps)
+    return extract_directions(
+        dist, parent, np.asarray(pos), start_yx, max_steps, signed=signed
+    )

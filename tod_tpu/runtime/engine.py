@@ -210,7 +210,7 @@ class Engine:
         from tod_tpu.planner.dijkstra import start_node_yx
         from tod_tpu.planner.tpu_relax import plan_on_device
 
-        start_yx = start_node_yx(cam_hw)
+        start_yx = start_node_yx(cam_hw, offset=pcfg.start_offset)
 
         def _serve_step_plan(p, packed):
             rgb = packed[:n_rgb].reshape(*cam_hw, 3)
@@ -226,6 +226,7 @@ class Engine:
                 min_pixels=pcfg.min_ball_pixels,
                 max_steps=pcfg.max_path_steps,
                 max_iters=pcfg.tpu_max_iters,
+                signed=pcfg.signed_turns,
             )
 
         self._serve_step_plan = jax.jit(_serve_step_plan, donate_argnums=donate)
@@ -271,7 +272,10 @@ class Engine:
         cam = self.cfg.camera
         height_d, balls_d = out_d
         plan_d = dispatch_plan_device(
-            height_d, balls_d, self.cfg.planner, start_node_yx((cam.height, cam.width))
+            height_d,
+            balls_d,
+            self.cfg.planner,
+            start_node_yx((cam.height, cam.width), offset=self.cfg.planner.start_offset),
         )
         try:
             plan_d.copy_to_host_async()  # overlap the ~8 KB readback

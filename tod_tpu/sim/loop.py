@@ -1,0 +1,204 @@
+"""The closed loop: render → perceive → plan → steer → move, to the ball.
+
+Two perception modes:
+
+- ``perception="oracle"`` — the renderer's own class/id maps feed the fusion
+  stage directly (no NN).  Fast; isolates the geometry+planner+controller
+  chain for tests and many-tick runs.
+- ``perception="model"`` — the full Engine graph (preprocess → YOLACT →
+  detect → fusion) perceives the rendered frames, exactly the serving path.
+
+Either way the plan is a real served Path (signed turns,
+PlannerConfig.signed_turns) and motion is the DirectionFollower executing it
+— so a passing run is evidence the ENTIRE product works: a simulated robot
+using only this framework's outputs physically reaches the ball the camera
+saw.  (The reference could never demonstrate this: its loop panics after one
+frame, src/main.rs:92, and the consumer lived off-repo on the RoboRIO.)
+
+CLI demo::
+
+    python -m tod_tpu.sim --ball -700,2400 --obstacle 0,1500 --ticks 40
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+import numpy as np
+
+from tod_tpu.core.config import CameraConfig, GeometryConfig, PlannerConfig
+from tod_tpu.sim.camera import render
+from tod_tpu.sim.controller import DirectionFollower
+from tod_tpu.sim.world import Ball, Obstacle, SimWorld
+
+
+@dataclasses.dataclass
+class TickLog:
+    tick: int
+    x: float
+    z: float
+    heading: float
+    ball_mm: float
+    turn: float
+    advance_mm: float
+    n_dirs: int
+
+
+def run_closed_loop(
+    world: SimWorld,
+    cam: CameraConfig,
+    pcfg: PlannerConfig | None = None,
+    geom: GeometryConfig | None = None,
+    engine=None,
+    perception: str = "oracle",
+    ticks: int = 40,
+    reach_mm: float = 300.0,
+    follower: DirectionFollower | None = None,
+    path_store=None,
+    log_fn=None,
+) -> dict:
+    """Drive the agent until it reaches the nearest ball or ticks run out.
+
+    Returns metrics: ``reached`` (bool), ``ticks_used``, ``final_ball_mm``,
+    ``min_obstacle_clearance_mm``, and the per-tick ``log``.
+    """
+    # sim default: planner start co-located with the camera center column
+    # (the reference's fixed W−240 column is an artifact of its 640-wide
+    # grid, src/path.rs:93 — config'd via PlannerConfig.start_offset)
+    pcfg = pcfg or PlannerConfig(
+        signed_turns=True, start_offset=cam.width // 2, backend="numpy"
+    )
+    geom = geom or GeometryConfig()
+    follower = follower or DirectionFollower(cam, pcfg)
+
+    if perception == "model":
+        if engine is None:
+            raise ValueError("perception='model' needs an Engine")
+    elif perception != "oracle":
+        raise ValueError(f"unknown perception {perception!r}")
+
+    log: list[TickLog] = []
+    min_clear = world.obstacle_clearance()
+    reached = False
+    for t in range(ticks):
+        if perception == "model":
+            frame = render(world, cam, seed=t)
+            scene, _dets = engine.process(frame)
+            height = np.asarray(scene.height, np.float32)
+            balls = np.asarray(scene.balls, np.float32)
+        else:
+            frame, cls, ids = render(world, cam, seed=t, annotate=True)
+            from tod_tpu.geometry.fusion import fuse_scene
+
+            scene = fuse_scene(frame.depth, cls, ids, cam, geom)
+            height = np.asarray(scene.height, np.float32)
+            balls = np.asarray(scene.balls, np.float32)
+
+        from tod_tpu.planner.api import plan_from_height
+
+        path = plan_from_height(height, balls, pcfg)
+        if path_store is not None:
+            path_store.set(path)
+        turn, advance = follower.command(path)
+        world.step(turn, advance)
+        min_clear = min(min_clear, world.obstacle_clearance())
+        d = world.ball_distance()
+        row = TickLog(
+            t, world.x, world.z, world.heading, d, turn, advance,
+            len(path.directions),
+        )
+        log.append(row)
+        if log_fn is not None:
+            log_fn(
+                f"tick {t:3d}: pos=({world.x:7.0f},{world.z:7.0f}) "
+                f"head={math.degrees(world.heading):6.1f}° ball={d:6.0f}mm "
+                f"turn={math.degrees(turn):6.1f}° adv={advance:5.0f}mm "
+                f"dirs={len(path.directions)}"
+            )
+        if d <= reach_mm:
+            reached = True
+            break
+    return {
+        "reached": reached,
+        "ticks_used": len(log),
+        "final_ball_mm": world.ball_distance(),
+        "min_obstacle_clearance_mm": min_clear,
+        "log": log,
+    }
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="tod_tpu.sim", description="closed-loop drive-to-ball simulation"
+    )
+    p.add_argument("--ball", action="append", default=None,
+                   help="x,z in mm (repeatable); default -700,2400")
+    p.add_argument("--obstacle", action="append", default=None,
+                   help="x,z in mm (repeatable)")
+    p.add_argument("--ticks", type=int, default=40)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--perception", choices=("oracle", "model"), default="oracle")
+    p.add_argument("--checkpoint", default=None,
+                   help="with --perception model: orbax dir (default pinned)")
+    args = p.parse_args(argv)
+
+    def _parse(items, default):
+        if not items:
+            return default
+        return [tuple(float(v) for v in it.split(",")) for it in items]
+
+    cam = CameraConfig(width=args.width, height=args.height)
+    world = SimWorld(
+        balls=[Ball(x, z) for x, z in _parse(args.ball, [(-700.0, 2400.0)])],
+        obstacles=[Obstacle(x, z) for x, z in _parse(args.obstacle, [])],
+    )
+    engine = None
+    if args.perception == "model":
+        import pathlib
+
+        from tod_tpu.core.config import ModelConfig, PipelineConfig
+        from tod_tpu.runtime.engine import Engine
+
+        ckpt = args.checkpoint
+        if ckpt is None:
+            default = (
+                pathlib.Path(__file__).parent.parent.parent
+                / "checkpoints/yolact_synth"
+            )
+            ckpt = str(default) if default.exists() else None
+        params = None
+        if ckpt:
+            from tod_tpu.train.checkpoint import load_checkpoint
+
+            params = load_checkpoint(ckpt)
+        cfg = PipelineConfig(
+            camera=cam,
+            model=ModelConfig(
+                input_size=(cam.height // 8 * 8, cam.width // 8 * 8)
+            ),
+            planner=PlannerConfig(
+                signed_turns=True, start_offset=cam.width // 2, backend="numpy"
+            ),
+        )
+        engine = Engine(cfg, params=params, mode="detect")
+    t0 = time.perf_counter()
+    m = run_closed_loop(
+        world, cam, engine=engine, perception=args.perception,
+        ticks=args.ticks, log_fn=print,
+    )
+    print(
+        f"{'REACHED' if m['reached'] else 'not reached'} in {m['ticks_used']} ticks "
+        f"({time.perf_counter() - t0:.1f}s); final ball distance "
+        f"{m['final_ball_mm']:.0f} mm; min obstacle clearance "
+        f"{m['min_obstacle_clearance_mm']:.0f} mm"
+    )
+    return 0 if m["reached"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -112,6 +112,24 @@ class TestClosedLoop:
         assert m["reached"], m
         assert m["min_obstacle_clearance_mm"] > 0.0, m
 
+    def test_trail_dump_artifact(self, tmp_path):
+        """dump_run writes the top-down trail plot (the reference's
+        artifact-dump debugging story, SURVEY.md §4, applied to the sim)."""
+        from tod_tpu.sim.loop import dump_run
+
+        world = SimWorld(
+            balls=[Ball(-700.0, 2400.0)], obstacles=[Obstacle(500.0, 1200.0)]
+        )
+        run_closed_loop(world, CAM, pcfg=PCFG, ticks=4)
+        out = dump_run(world, str(tmp_path))
+        from tod_tpu.utils.image_io import load_image
+
+        img = load_image(out)
+        assert img.ndim == 3 and img.shape[0] > 32 and img.shape[1] > 32
+        # the plot actually contains the ball, obstacle, and trail colors
+        for color in ((230, 200, 30), (220, 60, 60), (40, 150, 60)):
+            assert (img == np.array(color, np.uint8)).all(-1).any(), color
+
     def test_occluded_ball_is_not_hallucinated(self):
         """A ball fully hidden behind a robot box yields no plan — the agent
         searches instead of driving into the obstacle."""

@@ -145,6 +145,8 @@ def main(argv=None) -> int:
     p.add_argument("--perception", choices=("oracle", "model"), default="oracle")
     p.add_argument("--checkpoint", default=None,
                    help="with --perception model: orbax dir (default pinned)")
+    p.add_argument("--dump-dir", default=None,
+                   help="write a top-down trail.png of the run here")
     args = p.parse_args(argv)
 
     def _parse(items, default):
@@ -197,7 +199,63 @@ def main(argv=None) -> int:
         f"{m['final_ball_mm']:.0f} mm; min obstacle clearance "
         f"{m['min_obstacle_clearance_mm']:.0f} mm"
     )
+    if args.dump_dir:
+        print("trail plot:", dump_run(world, args.dump_dir))
     return 0 if m["reached"] else 1
+
+
+def dump_run(world: SimWorld, out_dir: str, mm_per_px: float = 10.0) -> str:
+    """Write a top-down metric plot of the run — trail, balls, obstacles —
+    as ``trail.png`` in ``out_dir`` (the artifact-dump debugging story the
+    reference used for its pipeline, SURVEY.md §4, applied to the sim)."""
+    import pathlib
+
+    from tod_tpu.utils.image_io import save_rgb
+
+    xs = [p[0] for p in world.trail] + [b.x for b in world.balls] + [
+        o.x for o in world.obstacles
+    ]
+    zs = [p[1] for p in world.trail] + [b.z for b in world.balls] + [
+        o.z for o in world.obstacles
+    ]
+    margin = 500.0
+    x0, x1 = min(xs) - margin, max(xs) + margin
+    z0, z1 = min(zs) - margin, max(zs) + margin
+    w = max(int((x1 - x0) / mm_per_px), 32)
+    h = max(int((z1 - z0) / mm_per_px), 32)
+    img = np.full((h, w, 3), 235, np.uint8)
+
+    def px(x, z):
+        # world +z up the image
+        return (
+            min(max(int((z1 - z) / mm_per_px), 0), h - 1),
+            min(max(int((x - x0) / mm_per_px), 0), w - 1),
+        )
+
+    def blot(r, c, rad, color):
+        rr, cc = np.mgrid[max(r - rad, 0):min(r + rad + 1, h),
+                          max(c - rad, 0):min(c + rad + 1, w)]
+        m = (rr - r) ** 2 + (cc - c) ** 2 <= rad * rad
+        img[rr[m], cc[m]] = color
+
+    for o in world.obstacles:
+        r0, c0 = px(o.x - o.half_w, o.z + o.half_w)
+        r1, c1 = px(o.x + o.half_w, o.z - o.half_w)
+        img[min(r0, r1):max(r0, r1) + 1, min(c0, c1):max(c0, c1) + 1] = (
+            (220, 60, 60) if o.team == "red" else (60, 80, 220)
+        )
+    for b in world.balls:
+        blot(*px(b.x, b.z), max(int(b.radius / mm_per_px), 2), (230, 200, 30))
+    for x, z in world.trail:
+        blot(*px(x, z), 2, (40, 150, 60))
+    blot(*px(*world.trail[0]), 4, (0, 0, 0))          # start
+    blot(*px(world.x, world.z), 4, (200, 40, 160))    # end
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / "trail.png"
+    save_rgb(path, img)
+    return str(path)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--planner", choices=("auto", "native", "numpy", "tpu"), default="auto")
     p.add_argument(
+        "--signed-turns", action="store_true",
+        help="emit drivable signed turn angles (atan2 turn chain) instead of "
+        "the reference's unsigned acos rotations (PlannerConfig.signed_turns)",
+    )
+    p.add_argument(
+        "--start-offset", type=int, default=240, metavar="COLS",
+        help="planner start-node column offset from the grid's right edge "
+        "(the reference's fixed 240, src/path.rs:93; use width/2 to center "
+        "under the camera)",
+    )
+    p.add_argument(
         "--int8", action="store_true",
         help="int8 end-to-end inference (the reference's u8-graph parity mode)",
     )
@@ -87,7 +98,11 @@ def main(argv=None) -> int:
             input_size=(args.height // 8 * 8, args.width // 8 * 8),
             quantized=args.int8,
         ),
-        planner=PlannerConfig(backend=args.planner),
+        planner=PlannerConfig(
+            backend=args.planner,
+            signed_turns=args.signed_turns,
+            start_offset=args.start_offset,
+        ),
         server=ServerConfig(
             host=args.host,
             port=args.port,

@@ -99,6 +99,11 @@ def export_engine(engine, mode: str = "plan", platforms=None):
         "planner": {
             "max_path_steps": pcfg.max_path_steps,
             "max_seed_balls": pcfg.max_seed_balls,
+            # angle semantics of the frozen plan buffer: drivable signed
+            # atan2 turns vs the reference's unsigned acos rotations —
+            # baked into the graph at export, so consumers must know
+            "signed_turns": pcfg.signed_turns,
+            "start_offset": pcfg.start_offset,
         },
         "engine_mode": engine.mode,
         "platforms": list(exported.platforms),

@@ -112,6 +112,21 @@ class TestClosedLoop:
         assert m["reached"], m
         assert m["min_obstacle_clearance_mm"] > 0.0, m
 
+    def test_multi_ball_reaches_a_ball(self):
+        """With several balls, multi-source seeding grows the search tree
+        from ALL of them (src/path.rs:37-49) and the agent reaches whichever
+        the planner resolves as cheapest.  NOTE the cost field is NOT metric
+        distance: terrain cells bump their own image row as "height"
+        (pt_cloud.comp parity, geometry/fusion.occupancy_map), so the floor
+        itself carries a cost gradient and the selected ball can be the
+        metrically farther one — the gated property is that the closed loop
+        converges on a planner-selected ball, not on Euclidean nearest."""
+        balls = [Ball(500.0, 2000.0), Ball(-900.0, 3600.0)]
+        world = SimWorld(balls=balls)
+        m = run_closed_loop(world, CAM, pcfg=PCFG, ticks=20)
+        assert m["reached"], m
+        assert m["final_ball_mm"] <= 300.0
+
     def test_trail_dump_artifact(self, tmp_path):
         """dump_run writes the top-down trail plot (the reference's
         artifact-dump debugging story, SURVEY.md §4, applied to the sim)."""

@@ -366,6 +366,40 @@ class TestTrainer:
             not np.allclose(b, np.asarray(a)) for b, a in zip(before, after)
         )
 
+    def test_checkpoint_save_is_crash_safe_replace(self, trainer, tmp_path):
+        """save-as-replace must never destroy the previous checkpoint before
+        the new one is complete (the best-checkpoint keeper overwrites one
+        path for a whole run), and load recovers from the mid-swap crash
+        window."""
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        path = tmp_path / "ckpt"
+        trainer.save(str(path))
+        trainer.save(str(path))  # replace over existing works
+        assert path.exists()
+        assert not path.with_name("ckpt.saving").exists()
+        assert not path.with_name("ckpt.replaced").exists()
+        # simulate dying between the two swap renames: the complete new
+        # checkpoint sits at .saving, nothing at the target path
+        path.rename(path.with_name("ckpt.saving"))
+        restored = load_checkpoint(str(path))
+        want = jax.tree.leaves(trainer.state.params)
+        got = jax.tree.leaves(restored["params"])
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_prefetch_close_releases_producer(self):
+        """An abandoned consumer (training loop raised mid-chunk) must not
+        leave the prefetch producer blocked on the bounded queue forever."""
+        from tod_tpu.train.prefetch import PrefetchChunks
+        from tod_tpu.train.synthetic_data import SyntheticDetectionData
+
+        data = SyntheticDetectionData((32, 32), batch_size=1, seed=0)
+        p = PrefetchChunks(data, sizes=[2] * 50, depth=1)
+        next(iter(p))  # consume one chunk, then abandon
+        p.close()
+        assert not p._thread.is_alive()
+
 
 class TestFocalLoss:
     def test_focal_finite_and_decreases(self):

@@ -261,7 +261,6 @@ def connection_weights(height_map, use_pallas: bool = False):
     pos = jnp.stack([xx, hm, yy], axis=-1)
 
     conns = []
-    big = jnp.inf
     padded = jnp.pad(hm, 1, constant_values=jnp.nan)
     for dy, dx in NEIGHBOR_OFFSETS:
         nh = padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]

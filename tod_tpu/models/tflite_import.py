@@ -22,9 +22,6 @@ from typing import Any
 import numpy as np
 
 # tflite builtin operator codes for ops that carry conv weights
-_CONV_2D = 3
-_DEPTHWISE_CONV_2D = 4
-_FULLY_CONNECTED = 9
 
 
 @dataclasses.dataclass

@@ -78,7 +78,10 @@ def u16_to_class_id(words):
 
 def unpack_height_balls(buf, h: int, w: int):
     """Host-side inverse of the serving step's packed scene readback:
-    ``[h·w·2 bytes f16 height][16·N bytes f32 (y, x, count, id) balls]``.
+    ``[h·w·2 bytes f16 height][16·N bytes f32 (x̄, ȳ, count, 0) balls]``
+    — ball slots are indexed by instance id and carry the running-average
+    centroid as (mean col, mean row, pixel count, 0), matching
+    geometry/fusion.ball_centroids and the shader's Balls SSBO layout.
 
     ONE shared decode of the wire-compact layout emitted by
     ``Engine._serve_step_packed`` — used by the Engine's host-planner path

@@ -13,18 +13,39 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str | pathlib.Path, tree: Any) -> None:
-    path = pathlib.Path(path).absolute()
-    ckptr = ocp.StandardCheckpointer()
-    # orbax refuses to overwrite; mirror "save = replace" semantics
-    if path.exists():
-        import shutil
+    """Save-as-replace, crash-safe: orbax refuses to overwrite, and naively
+    rmtree-ing the old checkpoint before saving would destroy it if the
+    process dies mid-save (the best-checkpoint keeper overwrites the same
+    path for hours of training).  Write to a sibling temp dir, then swap —
+    at every instant at least one complete checkpoint exists on disk."""
+    import shutil
 
-        shutil.rmtree(path)
-    ckptr.save(path, jax.tree.map(np.asarray, tree))
+    path = pathlib.Path(path).absolute()
+    tmp = path.with_name(path.name + ".saving")
+    old = path.with_name(path.name + ".replaced")
+    for stale in (tmp, old):
+        if stale.exists():
+            shutil.rmtree(stale)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(tmp, jax.tree.map(np.asarray, tree))
     ckptr.wait_until_finished()
+    if path.exists():
+        path.rename(old)
+    tmp.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def load_checkpoint(path: str | pathlib.Path) -> Any:
     path = pathlib.Path(path).absolute()
+    if not path.exists():
+        # crash-window recovery: a save interrupted mid-swap leaves the new
+        # complete checkpoint at .saving (post-save, pre-rename) or the old
+        # one at .replaced — prefer the newer
+        for alt in (path.with_name(path.name + ".saving"),
+                    path.with_name(path.name + ".replaced")):
+            if alt.exists():
+                path = alt
+                break
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path)

@@ -39,19 +39,46 @@ class PrefetchChunks:
     def __init__(self, data, sizes: list[int], depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._sizes = list(sizes)
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._produce, args=(data,), daemon=True, name="train-prefetch"
         )
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when close() is called — an abandoned
+        consumer (training loop raised mid-chunk) must not pin the producer
+        thread + depth×chunk×batch of staged arrays for process lifetime."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self, data) -> None:
         try:
             for n in self._sizes:
+                if self._stop.is_set():
+                    return
                 bs = [data.next_batch() for _ in range(n)]
-                self._q.put({k: np.stack([b[k] for b in bs]) for k in bs[0]})
-            self._q.put(self._DONE)
+                if not self._put({k: np.stack([b[k] for b in bs]) for k in bs[0]}):
+                    return
+            self._put(self._DONE)
         except BaseException as e:  # surfaced to the consumer
-            self._q.put(e)
+            self._put(e)
+
+    def close(self) -> None:
+        """Release the producer thread and staged memory (idempotent; called
+        by Trainer.train's finally)."""
+        self._stop.set()
+        try:  # drain so a blocked put can observe the stop promptly
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
 
     def __iter__(self) -> Iterator[dict]:
         while True:

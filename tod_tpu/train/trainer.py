@@ -194,59 +194,65 @@ class Trainer:
                     return jax.lax.scan(body, state, batches)
 
                 self._chunk_step = jax.jit(_scan_chunk)
+        prefetcher = None
         if chunk > 1:
             from tod_tpu.train.prefetch import PrefetchChunks, chunk_schedule
 
             sizes = chunk_schedule(steps, chunk)
-            staged = iter(PrefetchChunks(data, sizes))
+            prefetcher = PrefetchChunks(data, sizes)
+            staged = iter(prefetcher)
         done = 0
-        while done < steps:
-            n = min(chunk, steps - done) if chunk > 1 else 1
-            if n > 1:
-                batches = {k: jnp.asarray(v) for k, v in next(staged).items()}
-                self.state, mhist = self._chunk_step(self.state, batches)
-                metrics = {k: v[-1] for k, v in mhist.items()}
-            else:
-                if chunk > 1:  # remainder chunk of 1, staged (n, B, ...)
-                    batch = {k: jnp.asarray(v[0]) for k, v in next(staged).items()}
+        try:
+            while done < steps:
+                n = min(chunk, steps - done) if chunk > 1 else 1
+                if n > 1:
+                    batches = {k: jnp.asarray(v) for k, v in next(staged).items()}
+                    self.state, mhist = self._chunk_step(self.state, batches)
+                    metrics = {k: v[-1] for k, v in mhist.items()}
                 else:
-                    batch = {
-                        k: jnp.asarray(v) for k, v in data.next_batch().items()
-                    }
-                self.state, metrics = self._step(self.state, batch)
-            done += n
-            if done % log_every < n or done >= steps:
-                last = {k: float(v) for k, v in metrics.items()}
-                rate = done / (time.perf_counter() - t0)
-                log_fn(
-                    f"step {int(self.state.step)}: "
-                    + " ".join(f"{k}={v:.4f}" for k, v in last.items())
-                    + f" ({rate:.2f} steps/s)"
-                )
-                _record("train", {**last, "steps_per_s": round(rate, 3)})
-            if eval_every and (done % eval_every < n or done >= steps):
-                ev = self.evaluate(n_scenes=eval_scenes, seed=eval_seed)
-                m50 = ev.get("map50")
-                # map50 is None when no detection clears the score threshold
-                # (early training): report NaN rather than silently
-                # substituting an incomparable metric, and never let such an
-                # eval claim the best-checkpoint slot over a real mAP.
-                score = float("-inf") if m50 is None else float(m50)
-                last["eval_map50"] = float("nan") if m50 is None else float(m50)
-                if score > self._best_eval:
-                    self._best_eval = score
-                    if best_path is not None:
-                        self.save(best_path)
-                best = None if self._best_eval == float("-inf") else self._best_eval
-                last["eval_best_map50"] = float("nan") if best is None else best
-                log_fn(
-                    f"eval @ step {int(self.state.step)}: map50={m50} "
-                    f"recall50={ev['det_recall_iou50']} "
-                    f"sem_iou={ev['sem_iou']} best={best}"
-                )
-                _record("eval", {**ev, "best_map50": best})
-        if mfile is not None:
-            mfile.close()
+                    if chunk > 1:  # remainder chunk of 1, staged (n, B, ...)
+                        batch = {k: jnp.asarray(v[0]) for k, v in next(staged).items()}
+                    else:
+                        batch = {
+                            k: jnp.asarray(v) for k, v in data.next_batch().items()
+                        }
+                    self.state, metrics = self._step(self.state, batch)
+                done += n
+                if done % log_every < n or done >= steps:
+                    last = {k: float(v) for k, v in metrics.items()}
+                    rate = done / (time.perf_counter() - t0)
+                    log_fn(
+                        f"step {int(self.state.step)}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in last.items())
+                        + f" ({rate:.2f} steps/s)"
+                    )
+                    _record("train", {**last, "steps_per_s": round(rate, 3)})
+                if eval_every and (done % eval_every < n or done >= steps):
+                    ev = self.evaluate(n_scenes=eval_scenes, seed=eval_seed)
+                    m50 = ev.get("map50")
+                    # map50 is None when no detection clears the score threshold
+                    # (early training): report NaN rather than silently
+                    # substituting an incomparable metric, and never let such an
+                    # eval claim the best-checkpoint slot over a real mAP.
+                    score = float("-inf") if m50 is None else float(m50)
+                    last["eval_map50"] = float("nan") if m50 is None else float(m50)
+                    if score > self._best_eval:
+                        self._best_eval = score
+                        if best_path is not None:
+                            self.save(best_path)
+                    best = None if self._best_eval == float("-inf") else self._best_eval
+                    last["eval_best_map50"] = float("nan") if best is None else best
+                    log_fn(
+                        f"eval @ step {int(self.state.step)}: map50={m50} "
+                        f"recall50={ev['det_recall_iou50']} "
+                        f"sem_iou={ev['sem_iou']} best={best}"
+                    )
+                    _record("eval", {**ev, "best_map50": best})
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
+            if mfile is not None:
+                mfile.close()
         return last
 
     def evaluate(self, n_scenes: int = 8, seed: int = 9999) -> dict:

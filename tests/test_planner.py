@@ -287,6 +287,35 @@ class TestPlanFromHeight:
                 steps += 1
             assert any((y, x) == (int(s[0]), int(s[1])) for s in seeds)
 
+    def test_start_node_clamped_onto_grid(self):
+        """offset <= 0 must clamp to the last column — column w would index
+        one past the row (and overflow the native bidir planner's heap
+        buffers at the C ABI)."""
+        assert start_node_yx((10, 8), offset=0) == (9, 7)
+        assert start_node_yx((10, 8), offset=-5) == (9, 7)
+        assert start_node_yx((10, 8), offset=3) == (9, 5)
+        assert start_node_yx((10, 8), offset=100) == (9, 0)
+
+    def test_native_bidir_out_of_grid_start_is_safe(self):
+        """A start outside the grid (caller bug) must fall back to the plain
+        forward pass instead of writing past the bidir heap buffers."""
+        if not loader.available():
+            pytest.skip("native lib unavailable")
+        lib = loader.get()
+        h, w = 24, 32
+        height = np.zeros((h, w), np.float32)
+        seeds = np.array([[2, 3]], np.int32)
+        for sy, sx in ((h - 1, w), (h, 0), (h + 5, w + 5)):
+            d = np.empty((h, w), np.float64)
+            p = np.empty((h, w), np.int64)
+            lib.tod_dijkstra_height_bidir(
+                height.reshape(-1), h, w, seeds.reshape(-1), 1, sy, sx,
+                d.reshape(-1), p.reshape(-1),
+            )
+            # full forward relaxation: every cell reachable from the seed
+            assert np.isfinite(d).all()
+            assert d[2, 3] == 0.0
+
     def test_plan_from_height_bidir_flag(self, wall_scene):
         if not loader.available():
             pytest.skip("native lib unavailable")

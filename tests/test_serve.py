@@ -294,6 +294,54 @@ class TestHardening:
             stop_thread_server(srv)
             t.join(timeout=5)
 
+    def test_wrong_token_fails_fast_despite_retries(self):
+        """Auth rejection is deterministic misconfiguration, not transport
+        flapping: a client built with retries must NOT spin reconnect/backoff
+        cycles (each would inflate the server's unauthorized counter)."""
+        from tod_tpu.serve.client import AuthError
+
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0, auth_token="s3cret"))
+        try:
+            t0 = time.monotonic()
+            with pytest.raises(AuthError):
+                PathClient(port=srv.port, auth_token="wrong", retries=4, backoff=0.3)
+            assert time.monotonic() - t0 < 1.0  # no backoff sleeps happened
+            assert srv.counters["unauthorized"] == 1  # exactly one attempt
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_half_handshake_disconnect_is_quiet(self):
+        """A client vanishing mid-AuthTok (port scanner) must not raise an
+        unhandled exception in the connection task."""
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0, auth_token="s3cret"))
+        try:
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+            s.sendall(b"AuthTok")  # then vanish before the length prefix
+            s.close()
+            time.sleep(0.3)
+            # server still healthy: a proper handshake works afterwards
+            with PathClient(port=srv.port, auth_token="s3cret") as c:
+                assert c.new_path()
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
+    def test_failed_server_start_raises(self):
+        """run_in_thread must surface a startup failure (port already bound)
+        instead of returning a dead server discovered later via unrelated
+        connection-refused errors."""
+        store = PathStore()
+        t, srv = run_in_thread(store, ServerConfig(port=0))
+        try:
+            with pytest.raises(RuntimeError, match="failed to start"):
+                run_in_thread(store, ServerConfig(port=srv.port))
+        finally:
+            stop_thread_server(srv)
+            t.join(timeout=5)
+
     def test_auth_client_against_no_auth_server(self):
         """Rolling hardening rollout: clients get their token configured
         before the server does.  A no-auth server must accept the AuthTok

@@ -60,13 +60,18 @@ def top_ops(xplane_path: str, iters: int = 4, device_plane: str = "TPU"):
     xs = xplane_pb2.XSpace()
     with open(xplane_path, "rb") as f:
         xs.ParseFromString(f.read())
+    # aggregate over ALL matching planes: the first device-named plane can
+    # be a non-op plane (or an idle secondary device) with no "XLA Ops"
+    # line — returning from it would report 0.0 ms as if the step were free
+    tot: collections.Counter = collections.Counter()
+    cat: collections.Counter = collections.Counter()
+    n: collections.Counter = collections.Counter()
+    matched = False
     for plane in xs.planes:
         if device_plane not in plane.name:
             continue
+        matched = True
         evmeta = {m.id: m.name for m in plane.event_metadata.values()}
-        tot: collections.Counter = collections.Counter()
-        cat: collections.Counter = collections.Counter()
-        n: collections.Counter = collections.Counter()
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
@@ -75,14 +80,20 @@ def top_ops(xplane_path: str, iters: int = 4, device_plane: str = "TPU"):
                 tot[name] += ev.duration_ps
                 n[name] += 1
                 cat[_category(name)] += ev.duration_ps
-        total_ms = sum(tot.values()) / 1e9 / iters
-        by_cat = [(c, ps / 1e9 / iters) for c, ps in cat.most_common()]
-        top = [
-            (name, ps / 1e9 / iters, n[name] // iters)
-            for name, ps in tot.most_common(20)
-        ]
-        return total_ms, by_cat, top
-    raise RuntimeError(f"no plane matching {device_plane!r} in {xplane_path}")
+    if not matched:
+        raise RuntimeError(f"no plane matching {device_plane!r} in {xplane_path}")
+    if not tot:
+        raise RuntimeError(
+            f"planes matching {device_plane!r} carry no 'XLA Ops' line in "
+            f"{xplane_path} — wrong plane name or an empty capture"
+        )
+    total_ms = sum(tot.values()) / 1e9 / iters
+    by_cat = [(c, ps / 1e9 / iters) for c, ps in cat.most_common()]
+    top = [
+        (name, ps / 1e9 / iters, n[name] // iters)
+        for name, ps in tot.most_common(20)
+    ]
+    return total_ms, by_cat, top
 
 
 def profile_flagship_forward(batch: int = 16, hw=(480, 640)) -> None:

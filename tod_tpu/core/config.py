@@ -264,6 +264,8 @@ def validate(cfg: PipelineConfig) -> Sequence[str]:
         problems.append("meaningful_classes exceeds num_classes")
     if cfg.planner.max_seed_balls < 1:
         problems.append("planner.max_seed_balls must be >= 1")
+    if cfg.planner.start_offset < 1:
+        problems.append("planner.start_offset must be >= 1 (column w-offset)")
     if cfg.model.qat and not cfg.model.quantized:
         problems.append("model.qat requires model.quantized=True")
     return problems

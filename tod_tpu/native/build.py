@@ -49,12 +49,21 @@ def build(verbose: bool = False) -> pathlib.Path:
 
 
 def ensure_built() -> pathlib.Path | None:
-    """Build if stale; return the library path, or None if no toolchain."""
+    """Build if stale; return the library path, or None on failure.
+
+    Failures are LOGGED, not silent: the "auto" planner backend degrades to
+    the ~10-50x slower NumPy fallback when this returns None, and a serving
+    deployment losing its latency budget must have a diagnostic trail."""
     try:
         if needs_build():
             build()
         return _LIB
-    except (RuntimeError, FileNotFoundError):
+    except (RuntimeError, FileNotFoundError) as e:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native library unavailable (planner falls back to NumPy): %s", e
+        )
         return None
 
 

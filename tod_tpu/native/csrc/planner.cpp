@@ -253,8 +253,11 @@ int tod_dijkstra_height_bidir(const float* height, int h, int w,
     dist[i] = INFINITY;
     parent[i] = -1;
   }
-  if (start_y < 0 || start_x < 0) {
-    // whole-grid request: no target to search toward — plain forward pass
+  if (start_y < 0 || start_x < 0 || start_y >= h || start_x >= w) {
+    // negative = whole-grid request (no target to search toward); out-of-
+    // grid = caller bug — either way the plain forward pass handles it
+    // safely (it treats any non-grid start as "no early exit"), whereas
+    // seeding B.fd[start_idx] below would write past the heap buffer.
     return tod_dijkstra_height(height, h, w, seeds, n_seeds, start_y, start_x,
                                dist, parent);
   }

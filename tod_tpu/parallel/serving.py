@@ -78,5 +78,9 @@ class DPBatchServer:
         b = rgb_batch.shape[0]
         if b % self.dp:
             raise ValueError(f"batch {b} not divisible by dp={self.dp}")
-        rgb_batch = jax.device_put(jnp.asarray(rgb_batch), self._batch_sh)
+        # device_put the HOST array straight into the dp sharding: each shard
+        # transfers to its own device.  (jnp.asarray first would commit the
+        # whole batch to device 0 and pay an extra device-to-device reshard —
+        # double transfer cost + a device-0 memory spike per call.)
+        rgb_batch = jax.device_put(rgb_batch, self._batch_sh)
         return self._serve(self.params, rgb_batch)

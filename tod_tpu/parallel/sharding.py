@@ -95,15 +95,20 @@ def shard_chunk_step(step: Callable, state, mesh: Mesh):
 def shard_inference(fn: Callable, mesh: Mesh):
     """jit a (params, batch) -> out function with dp-sharded batches and
     tp-sharded params (batch inference scaling, SURVEY.md §2.5's optional
-    multi-chip DP)."""
+    multi-chip DP).
 
-    def wrapper(params, batch):
-        return fn(params, batch)
-
+    The jitted function is cached per params TREE STRUCTURE, so calling
+    ``jit_with(params)`` every frame reuses one compilation — a fresh
+    ``jax.jit`` object per call would recompile the whole forward each time.
+    """
     batch_sh = NamedSharding(mesh, P("dp"))
+    cache: dict = {}
 
     def jit_with(params):
-        param_sh = param_sharding_tree(params, mesh)
-        return jax.jit(wrapper, in_shardings=(param_sh, batch_sh))
+        key = jax.tree_util.tree_structure(params)
+        if key not in cache:
+            param_sh = param_sharding_tree(params, mesh)
+            cache[key] = jax.jit(fn, in_shardings=(param_sh, batch_sh))
+        return cache[key]
 
     return jit_with

@@ -155,6 +155,8 @@ def extract_directions(
 def start_node_yx(grid_hw: tuple[int, int], offset: int = 240) -> tuple[int, int]:
     """The robot's own position on the map: the reference's START_NODE is
     ``H·W − 240`` → (H−1, W−240) for its 640-wide grid (src/path.rs:93);
-    generalized as an offset from the end of the bottom row."""
+    generalized as an offset from the end of the bottom row, clamped onto
+    the grid (offset ≤ 0 would otherwise index column w — one past the
+    row, and a heap overflow at the native planner's C ABI)."""
     h, w = grid_hw
-    return h - 1, max(0, w - offset)
+    return h - 1, min(max(0, w - offset), w - 1)

@@ -18,6 +18,14 @@ import time
 from tod_tpu.core.types import Path
 
 
+class AuthError(ConnectionError):
+    """Auth handshake deterministically rejected (wrong/missing token).
+
+    Distinct from transient transport errors so the retry machinery does
+    NOT spin reconnect cycles against a misconfiguration — each rejected
+    attempt would also inflate the server's ``unauthorized`` counter."""
+
+
 class PathClient:
     """One path-protocol connection.
 
@@ -81,9 +89,21 @@ class PathClient:
                         + len(self.auth_token.encode()).to_bytes(4, "big")
                         + self.auth_token.encode()
                     )
-                    if self._read_exactly(2) != b"OK":
-                        raise ConnectionError("auth handshake rejected")
+                    try:
+                        ok = self._read_exactly(2)
+                    except ConnectionError as e:
+                        # the server replies OK or severs the connection
+                        # (server.py drops on bad tokens without a reply), so
+                        # a close during the handshake reply IS the rejection
+                        raise AuthError(
+                            "auth handshake rejected (connection closed)"
+                        ) from e
+                    if ok != b"OK":
+                        raise AuthError("auth handshake rejected")
                 return
+            except AuthError:
+                self.close()
+                raise  # deterministic misconfiguration — never retried
             except OSError:
                 self.close()
                 if attempt == self.retries:
@@ -141,7 +161,16 @@ class PathClient:
                 pass
             finally:
                 self.sock.settimeout(self.timeout)
-            return Path.deserialize(data)
+            try:
+                return Path.deserialize(data)
+            except ValueError as e:
+                # a stall >0.2 s mid-payload truncates the unframed reply —
+                # that is a transport fault, so surface it to the retry
+                # machinery instead of crashing past it.  (A truncation
+                # landing exactly on an 8-byte boundary is undetectable in
+                # this format — use get_path_v2's length-prefixed framing on
+                # lossy links.)
+                raise ConnectionError(f"truncated/malformed GetPath reply: {e}") from e
 
         return self._request(op)
 

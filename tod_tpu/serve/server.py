@@ -89,12 +89,19 @@ class PathServer:
                     # hardening extension: u32-BE length + token bytes; must
                     # precede any command when ServerConfig.auth_token is set
                     self.counters["AuthTok"] += 1
-                    n = int.from_bytes(await reader.readexactly(4), "big")
-                    if n > 1024:
-                        self.counters["unauthorized"] += 1
-                        log.error("AuthTok length %d exceeds bound; dropping %s", n, peer)
+                    try:
+                        n = int.from_bytes(await reader.readexactly(4), "big")
+                        if n > 1024:
+                            self.counters["unauthorized"] += 1
+                            log.error(
+                                "AuthTok length %d exceeds bound; dropping %s", n, peer
+                            )
+                            return
+                        token = await reader.readexactly(n)
+                    except asyncio.IncompleteReadError:
+                        # client (or port scanner) vanished mid-handshake —
+                        # drop quietly, same as a closed socket on a command
                         return
-                    token = await reader.readexactly(n)
                     import hmac
 
                     if self.cfg.auth_token is None:
@@ -211,9 +218,9 @@ class PathServer:
 
 def run_in_thread(store: PathStore, cfg: ServerConfig | None = None, stats_fn=None):
     """Start the server on a daemon thread with its own event loop; returns
-    (thread, server, ready_event) — the runtime uses this so the TPU loop and
-    the control plane stay independent (the reference's tokio task split,
-    src/main.rs:56-61)."""
+    ``(thread, server)`` or raises if the server fails to start — the runtime
+    uses this so the TPU loop and the control plane stay independent (the
+    reference's tokio task split, src/main.rs:56-61)."""
     server = PathServer(store, cfg, stats_fn=stats_fn)
     ready = threading.Event()
     loop_holder: dict = {}
@@ -222,8 +229,14 @@ def run_in_thread(store: PathStore, cfg: ServerConfig | None = None, stats_fn=No
         loop = asyncio.new_event_loop()
         asyncio.set_event_loop(loop)
         loop_holder["loop"] = loop
-        loop.run_until_complete(server.start())
-        ready.set()
+        try:
+            loop.run_until_complete(server.start())
+        except BaseException as e:  # surfaced to the caller below
+            loop_holder["error"] = e
+            loop.close()
+            return
+        finally:
+            ready.set()
         try:
             loop.run_forever()
         finally:
@@ -232,7 +245,15 @@ def run_in_thread(store: PathStore, cfg: ServerConfig | None = None, stats_fn=No
 
     t = threading.Thread(target=_run, daemon=True, name="tod-path-server")
     t.start()
-    ready.wait(timeout=10)
+    # a silent timeout or startup failure (port in use, bad TLS paths) must
+    # not hand back a dead server the caller only discovers via unrelated
+    # connection-refused errors later
+    if not ready.wait(timeout=10):
+        raise RuntimeError("path server did not start within 10s")
+    if "error" in loop_holder:
+        raise RuntimeError(
+            f"path server failed to start: {loop_holder['error']!r}"
+        ) from loop_holder["error"]
     server._loop = loop_holder.get("loop")  # type: ignore[attr-defined]
     return t, server
 

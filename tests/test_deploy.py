@@ -181,6 +181,27 @@ class TestArtifactServing:
         # a scene with no reachable ball — planning still ran)
         assert store.get().created > 0
 
+    def test_serve_honors_artifact_planner_semantics(self):
+        """Host planning for scene/packed artifacts must use the EXPORTED
+        planner semantics (signed turns, start column, caps) from the
+        header — defaults would silently flip the angle convention."""
+        meta = {
+            "planner": {
+                "signed_turns": True,
+                "start_offset": 32,
+                "max_seed_balls": 2,
+                "max_path_steps": 512,
+            }
+        }
+        pcfg = deploy.planner_config_from_meta(meta)
+        assert pcfg.signed_turns is True
+        assert pcfg.start_offset == 32
+        assert pcfg.max_seed_balls == 2
+        assert pcfg.max_path_steps == 512
+        # headers from older artifacts (no planner block) fall back to defaults
+        d = deploy.planner_config_from_meta({})
+        assert d.signed_turns is False and d.start_offset == 240
+
     def test_cli_export_info_serve(self, tmp_path, capsys):
         """The three CLI verbs run end-to-end on the tiny shape."""
         out = tmp_path / "cli.todx"

@@ -137,6 +137,28 @@ def read_meta(path: str) -> dict:
 # load + run
 # ---------------------------------------------------------------------------
 
+def planner_config_from_meta(meta: dict):
+    """Rebuild the planner semantics an artifact was exported with — host
+    planning for ``scene``/``packed`` artifacts must match what a ``plan``
+    artifact would have frozen (signed turn convention, start column, seed
+    and step caps), or the served directions silently change meaning."""
+    from tod_tpu.core.config import PlannerConfig
+
+    pmeta = meta.get("planner", {})
+    return PlannerConfig(
+        **{
+            k: pmeta[k]
+            for k in (
+                "signed_turns",
+                "start_offset",
+                "max_seed_balls",
+                "max_path_steps",
+            )
+            if k in pmeta
+        }
+    )
+
+
 class ServingArtifact:
     """A loaded frozen serving graph.
 
@@ -219,10 +241,12 @@ def serve_artifact(
 
     mode = artifact.meta["mode"]
     if mode in ("scene", "packed"):
-        from tod_tpu.core.config import PlannerConfig
         from tod_tpu.planner.api import plan_from_height
 
-        pcfg = PlannerConfig()
+        # honor the artifact's own recorded planner semantics — planning with
+        # defaults would silently revert a signed_turns/start_offset export
+        # to unsigned angles planned from the wrong start column
+        pcfg = planner_config_from_meta(artifact.meta)
     else:
         from tod_tpu.planner.api import materialize_path
 
@@ -300,7 +324,13 @@ def _cmd_export(args) -> int:
             input_size=(args.height // 8 * 8, args.width // 8 * 8),
             quantized=args.int8,
         ),
-        planner=PlannerConfig(backend="tpu" if args.mode == "plan" else "auto"),
+        planner=PlannerConfig(
+            backend="tpu" if args.mode == "plan" else "auto",
+            signed_turns=args.signed_turns,
+            start_offset=(
+                args.start_offset if args.start_offset is not None else 240
+            ),
+        ),
     )
     params = None
     ckpt = args.checkpoint
@@ -386,6 +416,16 @@ def main(argv=None) -> int:
     pe.add_argument("--width", type=int, default=320)
     pe.add_argument("--height", type=int, default=240)
     pe.add_argument("--int8", action="store_true", help="freeze the static-int8 graph")
+    pe.add_argument(
+        "--signed-turns", action="store_true",
+        help="freeze drivable signed turn angles into the plan graph "
+        "(default: reference-parity unsigned acos; recorded in the header)",
+    )
+    pe.add_argument(
+        "--start-offset", type=int, default=None, metavar="COLS",
+        help="planner start-node column offset from the right edge "
+        "(default: the reference's 240)",
+    )
     pe.add_argument(
         "--platforms", default=None,
         help="comma-separated lowering targets, e.g. tpu,cpu (default: current backend)",

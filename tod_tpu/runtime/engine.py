@@ -289,8 +289,13 @@ class Engine:
 
         return unpack_height_balls(buf, self.cfg.camera.height, self.cfg.camera.width)
 
-    def warmup(self) -> float:
-        """Compile the graph on a dummy frame; returns compile seconds."""
+    def warmup(self, plan_standalone: bool = True) -> float:
+        """Compile the graph on a dummy frame; returns compile seconds.
+
+        ``plan_standalone`` additionally warms the standalone sync-point plan
+        graph (planner.api.dispatch_plan_device) in device-planner mode —
+        ``run()`` passes ``plan_every is None`` so the extra seconds of XLA
+        compile are only paid when that path will actually dispatch."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
         rgb = jnp.zeros((h, w, 3), jnp.uint8)
         depth = jnp.zeros((h, w), jnp.uint16)
@@ -311,7 +316,8 @@ class Engine:
             # (planner.api.dispatch_plan_device) at sync points — a separate
             # jit cache from the fused _serve_step_plan above, so warm it too
             # or the first sync point pays a full XLA compile mid-run
-            jax.block_until_ready(self._plan_payload(hb))
+            if plan_standalone:
+                jax.block_until_ready(self._plan_payload(hb))
         else:
             out = self._serve_step_packed(self.params, _packed())
             jax.block_until_ready(out)
@@ -362,7 +368,7 @@ class Engine:
           ``max_inflight`` for the latency-bounded serving mode.
         """
         if warmup:
-            compile_s = self.warmup()
+            compile_s = self.warmup(plan_standalone=plan_every is None)
         else:
             compile_s = 0.0
         if watchdog is not None:
@@ -445,6 +451,12 @@ class Engine:
                     watchdog.heartbeat()
                 t_batch = now
                 batch_n = 0
+        # The watchdog guards FRAME progress — stop it the moment the frame
+        # loop exits so a slow final drain (tail-batch sync below + planner
+        # finish) on a completed run can't be miscounted as a stall and
+        # trigger a spurious supervised restart.
+        if watchdog is not None:
+            watchdog.stop()
         if out_d is not None and batch_n:
             jax.block_until_ready(out_d)
             if planner is not None and plan_every is None:
@@ -455,11 +467,6 @@ class Engine:
                 self.fps.tick()
         # streaming rate = frame loop only; the planner's final drain (below)
         # is reported separately so fps isn't under-counted by its tail.
-        # The watchdog guards FRAME progress — stop it here so a slow final
-        # drain (batch sync + planner finish) on a completed run can't be
-        # miscounted as a stall and trigger a spurious supervised restart.
-        if watchdog is not None:
-            watchdog.stop()
         wall = time.perf_counter() - t_start
         uploader.close()
         sampler.finish()

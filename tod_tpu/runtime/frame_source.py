@@ -214,6 +214,9 @@ class RingSource:
         )
         if rc != 0:
             raise RuntimeError("ring producer failed to start")
+        import threading
+
+        self._close_lock = threading.Lock()
 
     def frames(self) -> Iterator[Frame]:
         h, w = self.cam.height, self.cam.width
@@ -235,6 +238,11 @@ class RingSource:
         }
 
     def close(self) -> None:
-        if self._ring:
-            self._lib.tod_ring_destroy(self._ring)
-            self._ring = None
+        # thread-safe + idempotent: the supervised runtime closes a wedged
+        # source on a daemon thread while app-level cleanup may close it
+        # again from the main thread — the handle must be claimed atomically
+        # or both threads call tod_ring_destroy on the same pointer
+        with self._close_lock:
+            ring, self._ring = self._ring, None
+        if ring:
+            self._lib.tod_ring_destroy(ring)

@@ -149,15 +149,24 @@ def main(argv=None) -> int:
                    help="write a top-down trail.png of the run here")
     args = p.parse_args(argv)
 
-    def _parse(items, default):
+    def _parse(items, default, flag):
         if not items:
             return default
-        return [tuple(float(v) for v in it.split(",")) for it in items]
+        out = []
+        for it in items:
+            parts = it.split(",")
+            try:
+                if len(parts) != 2:
+                    raise ValueError
+                out.append((float(parts[0]), float(parts[1])))
+            except ValueError:
+                p.error(f"{flag} expects 'x,z' in mm, got {it!r}")
+        return out
 
     cam = CameraConfig(width=args.width, height=args.height)
     world = SimWorld(
-        balls=[Ball(x, z) for x, z in _parse(args.ball, [(-700.0, 2400.0)])],
-        obstacles=[Obstacle(x, z) for x, z in _parse(args.obstacle, [])],
+        balls=[Ball(x, z) for x, z in _parse(args.ball, [(-700.0, 2400.0)], "--ball")],
+        obstacles=[Obstacle(x, z) for x, z in _parse(args.obstacle, [], "--obstacle")],
     )
     engine = None
     if args.perception == "model":

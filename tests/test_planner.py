@@ -128,6 +128,33 @@ class TestDirections:
             dirs = extract_directions(dist, parent, s.pos, (11, 5), signed=True)
             assert dirs and math.copysign(1.0, dirs[0][1]) == sign
 
+    def test_signed_chain_traces_path_to_seed_on_flat_ground(self):
+        """The drivable contract: executing "turn rotation[i], advance
+        magnitude[i]" from the start's facing reconstructs the path — on
+        FLAT ground, where hop cost equals Euclidean hop length, the chain's
+        endpoint is the seed cell.  (On bumpy fields magnitudes carry the
+        |Δh| cost term, so displacement is an overestimate and a follower
+        must replan — which the sim controller does.)"""
+        rng = np.random.default_rng(7)
+        hm = np.zeros((32, 40), np.float32)
+        for _ in range(6):
+            by, bx = int(rng.integers(0, 20)), int(rng.integers(0, 40))
+            sy, sx = int(rng.integers(25, 32)), int(rng.integers(0, 40))
+            if (by, bx) == (sy, sx):
+                continue
+            s = _scene_from_height(hm, ball_yx=(by, bx))
+            dist, parent = dijkstra_grid(s.height, s.connections, [(by, bx)])
+            dirs = extract_directions(dist, parent, s.pos, (sy, sx), signed=True)
+            assert dirs
+            hx, hz = 0.0, -1.0
+            x, z = float(sx), float(sy)
+            for mag, rot in dirs:
+                c, si = math.cos(rot), math.sin(rot)
+                hx, hz = c * hx - si * hz, si * hx + c * hz
+                x += mag * hx
+                z += mag * hz
+            assert (x, z) == pytest.approx((bx, by), abs=1e-3), (by, bx, sy, sx)
+
     def test_signed_turns_agree_across_backends(self):
         """numpy, host tpu-walk, and the fused device walk emit the SAME
         signed direction list (same plan_from_height inputs)."""

@@ -2,6 +2,8 @@
 
 import time
 
+import pytest
+
 import numpy as np
 
 from tod_tpu.runtime.profiler import FPSMeter, StageTimer
@@ -51,3 +53,18 @@ class TestImageIO:
         assert len(paths) == 4
         for p in paths:
             assert load_image(p).shape == (8, 10, 3)
+
+
+class TestTopLevelAPI:
+    def test_lazy_headline_exports(self):
+        """`tod_tpu.Engine` / `PathClient` / the data types resolve lazily
+        (import tod_tpu must stay light for serving hosts) and unknown
+        attributes raise AttributeError normally."""
+        import tod_tpu
+
+        assert tod_tpu.Path.__name__ == "Path"
+        assert tod_tpu.PathClient.__module__ == "tod_tpu.serve.client"
+        assert tod_tpu.Engine.__module__ == "tod_tpu.runtime.engine"
+        assert "PathStore" in dir(tod_tpu)
+        with pytest.raises(AttributeError):
+            tod_tpu.not_a_symbol

@@ -30,8 +30,44 @@ This package re-designs every layer TPU-first:
 - ``train``     losses, target assignment, synthetic data, optax trainer, orbax
                 checkpointing (the reference shipped frozen weights; we train)
 - ``native``    C++ runtime pieces (frame ring buffer, planner core) via ctypes
+- ``bench``     runnable benchmarks for every BASELINE config + device-timeline
+                profiling
+- ``sim``       closed-loop drive-to-ball simulation: metric world, fusion-
+                consistent renderer, signed-turn direction follower (the
+                robot-controller consumer the reference never shipped)
+- ``deploy``    frozen serving artifacts: the fused graph exported to a single
+                StableHLO ``.todx`` file, served without model code (the
+                tflite-blob deployment story, src/yolact.rs:18-20)
 """
 
 __version__ = "0.1.0"
 
 from tod_tpu.core.config import PipelineConfig, ModelConfig, GeometryConfig  # noqa: F401
+
+# Headline API, imported lazily: ``tod_tpu.Engine`` / ``PathClient`` /
+# ``PathStore`` resolve on first use without making ``import tod_tpu`` pull
+# the full jax/flax stack (interpreter startup matters on serving hosts).
+_LAZY = {
+    "Engine": ("tod_tpu.runtime.engine", "Engine"),
+    "PathClient": ("tod_tpu.serve.client", "PathClient"),
+    "PathStore": ("tod_tpu.serve.server", "PathStore"),
+    "Path": ("tod_tpu.core.types", "Path"),
+    "Frame": ("tod_tpu.core.types", "Frame"),
+    "Scene": ("tod_tpu.core.types", "Scene"),
+    "Detections": ("tod_tpu.core.types", "Detections"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        value = getattr(importlib.import_module(module), attr)
+        globals()[name] = value  # cache for subsequent lookups
+        return value
+    raise AttributeError(f"module 'tod_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

@@ -112,6 +112,17 @@ class TestClosedLoop:
         assert m["reached"], m
         assert m["min_obstacle_clearance_mm"] > 0.0, m
 
+    def test_intercepts_rolling_ball(self):
+        """A MOVING target: the ball rolls across the field while the agent
+        chases.  Every tick of path staleness displaces the goal, so this is
+        the scenario that makes replan freshness (drop-old planning, the
+        latency-bounded serving rationale) a product property — and the
+        search fallback proves out when the rolling ball exits the FOV."""
+        world = SimWorld(balls=[Ball(900.0, 2600.0, vx=-120.0)])
+        m = run_closed_loop(world, CAM, pcfg=PCFG, ticks=35)
+        assert m["reached"], m
+        assert m["final_ball_mm"] <= 300.0
+
     def test_multi_ball_reaches_a_ball(self):
         """With several balls, multi-source seeding grows the search tree
         from ALL of them (src/path.rs:37-49) and the agent reaches whichever

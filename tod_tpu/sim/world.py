@@ -24,11 +24,18 @@ import math
 
 @dataclasses.dataclass
 class Ball:
-    """An FRC Power Cell: ~178 mm diameter yellow ball on the floor."""
+    """An FRC Power Cell: ~178 mm diameter yellow ball on the floor.
+
+    ``vx``/``vz`` (mm per control tick) make it a MOVING target — balls on a
+    competition field roll.  Intercepting one is the scenario that makes
+    path freshness a product property: every tick of staleness displaces
+    the goal the planner is steering toward."""
 
     x: float
     z: float
     radius: float = 89.0
+    vx: float = 0.0
+    vz: float = 0.0
 
 
 @dataclasses.dataclass
@@ -73,6 +80,9 @@ class SimWorld:
         self.heading += turn
         self.x += advance_mm * math.sin(self.heading)
         self.z += advance_mm * math.cos(self.heading)
+        for b in self.balls:
+            b.x += b.vx
+            b.z += b.vz
         self.trail.append((self.x, self.z))
 
     # --- frames -----------------------------------------------------------

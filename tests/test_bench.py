@@ -14,8 +14,9 @@ class TestBenchRegistry:
         # native 640x480, src/scene.rs:36-37); 7 = batch throughput + MFU;
         # 8 = latency-bounded serving sweep; 9 = multi-chip DP serving;
         # 10 = int8 vs bf16 serve step; 11 = train-step throughput;
-        # 12 = wall-clock chunked-training throughput
-        assert sorted(CONFIGS) == list(range(1, 13))
+        # 12 = wall-clock chunked-training throughput; 13 = static-int8
+        # batch throughput (config 7's quantized counterpart)
+        assert sorted(CONFIGS) == list(range(1, 14))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -23,7 +24,7 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "13"])
+            main(["--config", "14"])
 
     def test_config11_train_throughput_cpu(self):
         from tod_tpu.bench.configs import config11_train_throughput

@@ -247,6 +247,21 @@ def config7_batch_throughput_mfu() -> dict:
     between tiny convs); this config shows the throughput ceiling: the model
     forward at batch 16, VGA, bf16, back-to-back on device, with achieved
     FLOPs/s over the chip's bf16 peak from XLA's own cost analysis."""
+    return _batch_throughput(quantized=False)
+
+
+def config13_int8_batch_throughput() -> dict:
+    """Config 13: the STATIC-INT8 counterpart of config 7 — batch-16 VGA
+    throughput through the prepared (BN-folded, pre-quantized, static
+    activation scales) s8 graph, MFU reported against the chip's int8 peak
+    (~394 TOPS on v5e).  Context from the measured hardware ceiling
+    (docs/performance.md): this v5e/XLA stack executes s8 matmuls at the
+    bf16 rate, so PARITY with config 7's images/s is the realistic target —
+    int8's win here is the 4x weight footprint, not rate."""
+    return _batch_throughput(quantized=True)
+
+
+def _batch_throughput(quantized: bool) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -258,9 +273,10 @@ def config7_batch_throughput_mfu() -> dict:
     on_tpu = _on_tpu()
     batch = 16 if on_tpu else 2
     hw = (480, 640) if on_tpu else (64, 64)
-    mcfg = ModelConfig(input_size=hw) if on_tpu else ModelConfig(
+    kw = dict(quantized=quantized)
+    mcfg = ModelConfig(input_size=hw, **kw) if on_tpu else ModelConfig(
         input_size=hw, fpn_channels=16, proto_channels=16, head_channels=16,
-        width_mult=0.25, num_prototypes=8,
+        width_mult=0.25, num_prototypes=8, **kw,
     )
     model, _ = create_model(mcfg)
     x0 = jnp.zeros((batch, *hw, 3), jnp.bfloat16)
@@ -268,6 +284,29 @@ def config7_batch_throughput_mfu() -> dict:
     params = _pinned_params() if on_tpu and hw == (480, 640) else None
     if params is not None:
         variables = jax.device_put(params)
+    if quantized:
+        # one-time static-int8 preparation (models/prepare.py): BN fold ->
+        # calibration on synthetic frames -> pre-quantized s8 weights +
+        # static per-tensor activation scales — the same load-time pipeline
+        # the Engine runs for --int8 serving
+        from tod_tpu.core.config import CameraConfig
+        from tod_tpu.models.prepare import (
+            calibrate_amax,
+            fold_batchnorm,
+            quantize_prepared,
+        )
+        from tod_tpu.runtime.frame_source import SyntheticSource
+
+        cam = CameraConfig(width=hw[1], height=hw[0])
+        folded = fold_batchnorm(variables)
+        batches = [
+            preprocess_frame(jnp.asarray(f.rgb), hw, jnp.bfloat16)
+            for f in SyntheticSource(cam, seed=101, n_frames=2).frames()
+        ]
+        calib = calibrate_amax(model, folded, batches)
+        variables = jax.device_put(
+            quantize_prepared(folded, calib, quantize_depthwise=False)
+        )
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
@@ -310,13 +349,18 @@ def config7_batch_throughput_mfu() -> dict:
         if on_tpu:
             from tod_tpu.bench.mfu import peak_flops
 
-            peak = peak_flops(jax.devices()[0].device_kind)
+            peak = peak_flops(
+                jax.devices()[0].device_kind, "int8" if quantized else "bf16"
+            )
             mfu = round(flops / step_s / peak, 4) if peak else None
     except Exception:
         pass
 
     return {
-        "metric": f"batch{batch}_model_throughput_{hw[0]}x{hw[1]}",
+        "metric": (
+            f"batch{batch}_model_throughput_{hw[0]}x{hw[1]}"
+            + ("_int8" if quantized else "")
+        ),
         "value": round(imgs_per_s, 1),
         "unit": "images/s",
         "vs_baseline": round(imgs_per_s / REF_FRAME_FPS, 3),
@@ -734,6 +778,7 @@ CONFIGS = {
     10: config10_int8_vs_bf16,
     11: config11_train_throughput,
     12: config12_chunked_train_wall,
+    13: config13_int8_batch_throughput,
 }
 
 

@@ -97,7 +97,9 @@ class TestServer:
 
     def test_getstat_metrics(self):
         store = PathStore()
-        store.set(Path(created=time.time() - 3.0, directions=[(1.0, 0.0)]))
+        store.set(
+            Path(created=time.time() - 3.0, directions=[(1.0, 0.0)], truncated=True)
+        )
         t, srv = run_in_thread(
             store, ServerConfig(port=0), stats_fn=lambda: {"fps": 42.0}
         )
@@ -108,6 +110,7 @@ class TestServer:
             assert stats["requests"]["GetPath"] == 1
             assert stats["requests"]["GetStat"] == 1
             assert stats["path_len"] == 1
+            assert stats["path_truncated"] is True  # step-cap flag on the wire
             assert 2.0 < stats["path_age_s"] < 60.0
             assert stats["pipeline"] == {"fps": 42.0}
         finally:

@@ -169,6 +169,9 @@ class PathServer:
             "requests": dict(self.counters),
             "path_age_s": time.time() - path.created,
             "path_len": len(path.directions),
+            # device path-walk step cap hit (PlannerConfig.max_path_steps):
+            # the wire Path can't carry the flag, so it surfaces here
+            "path_truncated": bool(getattr(path, "truncated", False)),
         }
         if self.stats_fn is not None:
             try:

@@ -15,8 +15,9 @@ class TestBenchRegistry:
         # 8 = latency-bounded serving sweep; 9 = multi-chip DP serving;
         # 10 = int8 vs bf16 serve step; 11 = train-step throughput;
         # 12 = wall-clock chunked-training throughput; 13 = static-int8
-        # batch throughput (config 7's quantized counterpart)
-        assert sorted(CONFIGS) == list(range(1, 14))
+        # batch throughput (config 7's quantized counterpart); 14 = batch-
+        # scaling capacity curve; 15 = backbone-family throughput
+        assert sorted(CONFIGS) == list(range(1, 16))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -24,7 +25,24 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "14"])
+            main(["--config", "16"])
+
+    def test_config14_batch_scaling_cpu(self):
+        from tod_tpu.bench.configs import config14_batch_scaling
+
+        out = config14_batch_scaling()
+        assert out["value"] > 0
+        assert [c["batch"] for c in out["curve"]] == [1, 2]
+        assert all(c["step_ms"] > 0 for c in out["curve"])
+
+    def test_config15_backbone_family_cpu(self):
+        from tod_tpu.bench.configs import config15_backbone_family
+
+        out = config15_backbone_family()
+        assert [c["backbone"] for c in out["curve"]] == [
+            "mobilenetv2", "resnet18", "resnet50",
+        ]
+        assert all(c["images_per_s"] > 0 for c in out["curve"])
 
     def test_config11_train_throughput_cpu(self):
         from tod_tpu.bench.configs import config11_train_throughput

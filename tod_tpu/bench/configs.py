@@ -261,6 +261,56 @@ def config13_int8_batch_throughput() -> dict:
     return _batch_throughput(quantized=True)
 
 
+def _chained_forward_step_s(model, variables, x0, k: int) -> float:
+    """Per-forward seconds, serialized-chain methodology (best of 2 on TPU).
+
+    K forwards serialized inside one fori_loop by an opaque data dependency,
+    finished with a 4-byte VALUE readback: on remote backends
+    block_until_ready can ack a dispatch chain before remote completion, so
+    chained-dispatch timing is only honest when a value comes back.  K is
+    large because the chain pays ONE host->device round trip (~30-50 ms on
+    the remote tunnel) regardless of length — at k=16 that RTT inflated the
+    per-step time ~2 ms (8.45 ms wall vs 6.10 ms device-op time in the
+    profiler trace); at k=128 the residual is <0.4 ms/step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _chained(v, x):
+        def body(i, carry):
+            xx, acc = carry
+            out = model.apply(v, xx, train=False)
+            s = out.loc.sum()
+            xx = jnp.where(jnp.isnan(s), xx + 1, xx)  # opaque no-op dependency
+            return xx, acc + s
+
+        _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
+        return acc
+
+    chained = jax.jit(_chained)
+    float(chained(variables, x0))  # warm (compile + first run)
+    samples = []
+    for _ in range(2 if _on_tpu() else 1):
+        t0 = time.perf_counter()
+        float(chained(variables, x0))  # value forces completion
+        samples.append(time.perf_counter() - t0)
+    return min(samples) / k
+
+
+def _forward_flops(model, variables, x0) -> float | None:
+    """FLOPs of one inference forward from XLA's own cost analysis."""
+    import jax
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    try:
+        ca = fwd.lower(variables, x0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
 def _batch_throughput(quantized: bool) -> dict:
     import jax
     import jax.numpy as jnp
@@ -308,53 +358,18 @@ def _batch_throughput(quantized: bool) -> dict:
             quantize_prepared(folded, calib, quantize_depthwise=False)
         )
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-
-    # K forwards serialized inside one fori_loop by an opaque data dependency,
-    # finished with a 4-byte VALUE readback: on remote backends
-    # block_until_ready can ack a dispatch chain before remote completion, so
-    # chained-dispatch timing is only honest when a value comes back.  K is
-    # large because the chain pays ONE host->device round trip (~30-50 ms on
-    # the remote tunnel) regardless of length — at k=16 that RTT inflated the
-    # per-step time ~2 ms (8.45 ms wall vs 6.10 ms device-op time in the
-    # profiler trace); at k=128 the residual is <0.4 ms/step.
-    k = 128 if on_tpu else 2
-
-    def _chained(v, x):
-        def body(i, carry):
-            xx, acc = carry
-            out = model.apply(v, xx, train=False)
-            s = out.loc.sum()
-            xx = jnp.where(jnp.isnan(s), xx + 1, xx)  # opaque no-op dependency
-            return xx, acc + s
-        _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
-        return acc
-
-    chained = jax.jit(_chained)
-    float(chained(variables, x0))  # warm
-    samples = []
-    for _ in range(2 if on_tpu else 1):
-        t0 = time.perf_counter()
-        float(chained(variables, x0))
-        samples.append(time.perf_counter() - t0)
-    step_s = min(samples) / k
+    step_s = _chained_forward_step_s(model, variables, x0, 128 if on_tpu else 2)
     imgs_per_s = batch / step_s
 
-    mfu = flops = None
-    try:
-        ca = fwd.lower(variables, x0).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca["flops"])
-        if on_tpu:
-            from tod_tpu.bench.mfu import peak_flops
+    flops = _forward_flops(model, variables, x0)
+    mfu = None
+    if flops and on_tpu:
+        from tod_tpu.bench.mfu import peak_flops
 
-            peak = peak_flops(
-                jax.devices()[0].device_kind, "int8" if quantized else "bf16"
-            )
-            mfu = round(flops / step_s / peak, 4) if peak else None
-    except Exception:
-        pass
+        peak = peak_flops(
+            jax.devices()[0].device_kind, "int8" if quantized else "bf16"
+        )
+        mfu = round(flops / step_s / peak, 4) if peak else None
 
     return {
         "metric": (
@@ -367,6 +382,133 @@ def _batch_throughput(quantized: bool) -> dict:
         "step_ms": round(step_s * 1e3, 2),
         "step_gflops": round(flops / 1e9, 1) if flops else None,
         "mfu": mfu,
+        "backend": jax.default_backend(),
+    }
+
+
+def config14_batch_scaling() -> dict:
+    """Config 14: capacity-planning curve — flagship forward throughput + MFU
+    vs batch size (VGA bf16, pinned weights when present).
+
+    Batch-1 serving runs the chip at ~0.6% MFU (dispatch/memory-bound at tiny
+    shapes); config 7 showed batch 16 reaching 0.28.  This config measures the
+    whole curve (1→64) so a deployment can pick the smallest batch that
+    saturates the chip — the knee is where added batching only buys latency.
+    Serialized-chain methodology throughout (see _chained_forward_step_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.core.config import ModelConfig
+    from tod_tpu.models.yolact import create_model
+
+    on_tpu = _on_tpu()
+    hw = (480, 640) if on_tpu else (64, 64)
+    batches = (1, 4, 16, 32, 64) if on_tpu else (1, 2)
+    mcfg = ModelConfig(input_size=hw) if on_tpu else ModelConfig(
+        input_size=hw, fpn_channels=16, proto_channels=16, head_channels=16,
+        width_mult=0.25, num_prototypes=8,
+    )
+    model, _ = create_model(mcfg)
+    x1 = jnp.zeros((1, *hw, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(k, x1, train=False))(jax.random.PRNGKey(0))
+    params = _pinned_params() if on_tpu else None
+    if params is not None:
+        variables = jax.device_put(params)
+
+    from tod_tpu.bench.mfu import peak_flops
+
+    peak = peak_flops(jax.devices()[0].device_kind) if on_tpu else None
+    curve = []
+    for batch in batches:
+        x0 = jnp.zeros((batch, *hw, 3), jnp.bfloat16)
+        # bound each point's chain wall time: big batches need fewer steps to
+        # amortize the single dispatch RTT below 0.5 ms/step
+        k = (128 if batch <= 16 else 64 if batch <= 32 else 32) if on_tpu else 2
+        step_s = _chained_forward_step_s(model, variables, x0, k)
+        flops = _forward_flops(model, variables, x0)
+        curve.append(
+            {
+                "batch": batch,
+                "step_ms": round(step_s * 1e3, 2),
+                "images_per_s": round(batch / step_s, 1),
+                "mfu": round(flops / step_s / peak, 4) if flops and peak else None,
+            }
+        )
+    best = max(curve, key=lambda c: c["images_per_s"])
+    return {
+        "metric": f"batch_scaling_peak_throughput_{hw[0]}x{hw[1]}",
+        "value": best["images_per_s"],
+        "unit": "images/s",
+        "vs_baseline": round(best["images_per_s"] / REF_FRAME_FPS, 3),
+        "best_batch": best["batch"],
+        "curve": curve,
+        "backend": jax.default_backend(),
+    }
+
+
+def config15_backbone_family() -> dict:
+    """Config 15: model-family throughput — the same YOLACT graph over each
+    registered backbone (MobileNetV2 / ResNet18 / ResNet50) at batch-16 VGA
+    bf16, serialized-chain step time + MFU per backbone.
+
+    The reference shipped exactly one frozen MobileNetV2 blob
+    (src/yolact.rs:18-20); here the backbone is a config field
+    (ModelConfig.backbone), and this config documents what each family member
+    costs on the chip.  MobileNetV2 uses the pinned checkpoint when present;
+    the ResNets run jit-init weights (throughput is weight-value-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.core.config import ModelConfig
+    from tod_tpu.models.yolact import create_model
+
+    on_tpu = _on_tpu()
+    hw = (480, 640) if on_tpu else (64, 64)
+    batch = 16 if on_tpu else 2
+    k = 128 if on_tpu else 2
+    tiny = dict(
+        fpn_channels=16, proto_channels=16, head_channels=16,
+        width_mult=0.25, num_prototypes=8,
+    )
+    from tod_tpu.bench.mfu import peak_flops
+
+    peak = peak_flops(jax.devices()[0].device_kind) if on_tpu else None
+    curve = []
+    for name, backbone in (
+        ("yolact_mnv2_fpn", "mobilenetv2"),
+        ("yolact_r18_fpn", "resnet18"),
+        ("yolact_r50_fpn", "resnet50"),
+    ):
+        mcfg = ModelConfig(
+            name=name, backbone=backbone, input_size=hw, **({} if on_tpu else tiny)
+        )
+        model, _ = create_model(mcfg)
+        x0 = jnp.zeros((batch, *hw, 3), jnp.bfloat16)
+        variables = jax.jit(lambda key: model.init(key, x0, train=False))(
+            jax.random.PRNGKey(0)
+        )
+        if backbone == "mobilenetv2" and on_tpu:
+            params = _pinned_params()
+            if params is not None:
+                variables = jax.device_put(params)
+        step_s = _chained_forward_step_s(model, variables, x0, k)
+        flops = _forward_flops(model, variables, x0)
+        curve.append(
+            {
+                "backbone": backbone,
+                "step_ms": round(step_s * 1e3, 2),
+                "images_per_s": round(batch / step_s, 1),
+                "step_gflops": round(flops / 1e9, 1) if flops else None,
+                "mfu": round(flops / step_s / peak, 4) if flops and peak else None,
+            }
+        )
+    mnv2 = curve[0]
+    return {
+        "metric": f"backbone_family_batch{batch}_{hw[0]}x{hw[1]}",
+        "value": mnv2["images_per_s"],
+        "unit": "images/s (mnv2)",
+        "vs_baseline": round(mnv2["images_per_s"] / REF_FRAME_FPS, 3),
+        "curve": curve,
         "backend": jax.default_backend(),
     }
 
@@ -779,6 +921,8 @@ CONFIGS = {
     11: config11_train_throughput,
     12: config12_chunked_train_wall,
     13: config13_int8_batch_throughput,
+    14: config14_batch_scaling,
+    15: config15_backbone_family,
 }
 
 

@@ -60,6 +60,10 @@ def shard_train_step(step: Callable, state, mesh: Mesh):
         step,
         in_shardings=(state_shardings, batch_sh),
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        # state in == state out shard-for-shard: donate so the optimizer
+        # update aliases params/moments in place instead of holding two
+        # copies of the state tree live across the step
+        donate_argnums=0,
     )
     return jitted, state
 
@@ -89,6 +93,7 @@ def shard_chunk_step(step: Callable, state, mesh: Mesh):
         scan_chunk,
         in_shardings=(state_shardings, batch_sh),
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        donate_argnums=0,  # same aliasing argument as shard_train_step
     )
 
 

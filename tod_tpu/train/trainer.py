@@ -116,7 +116,12 @@ class Trainer:
 
             self._step, self.state = shard_train_step(step, self.state, mesh)
         else:
-            self._step = jax.jit(step)
+            # Donate the TrainState: every leaf (params, Adam moments, batch
+            # stats, step) has a same-shape output for XLA to alias, so the
+            # update writes in place instead of allocating a second ~3× param
+            # tree in HBM per step.  Callers never reuse a pre-step state
+            # (donation is enforced on both CPU and TPU, so misuse raises).
+            self._step = jax.jit(step, donate_argnums=0)
 
     def train(
         self,
@@ -193,7 +198,7 @@ class Trainer:
 
                     return jax.lax.scan(body, state, batches)
 
-                self._chunk_step = jax.jit(_scan_chunk)
+                self._chunk_step = jax.jit(_scan_chunk, donate_argnums=0)
         prefetcher = None
         if chunk > 1:
             from tod_tpu.train.prefetch import PrefetchChunks, chunk_schedule

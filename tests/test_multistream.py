@@ -1,0 +1,224 @@
+"""Multi-stream serving tests (runtime/multistream.py).
+
+Equivalence: the batched N-stream graph must produce the same scenes and
+plans as the single-stream Engine run per stream (same params, f32).  Plus
+the stream-feed drop-old semantics and the GetPthN/NewPthN wire extension.
+"""
+
+import dataclasses
+import struct
+
+import numpy as np
+import pytest
+
+from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig, ServerConfig
+from tod_tpu.core.types import Path
+from tod_tpu.runtime.frame_source import SyntheticSource
+from tod_tpu.runtime.multistream import MultiStreamEngine, _StreamFeed
+from tod_tpu.serve.client import PathClient
+from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
+
+TINY = ModelConfig(
+    input_size=(48, 64),
+    fpn_channels=16,
+    proto_channels=16,
+    head_channels=16,
+    width_mult=0.35,
+    num_prototypes=8,
+    dtype="float32",
+)
+CAM = CameraConfig(width=64, height=48)
+CFG = PipelineConfig(camera=CAM, model=TINY)
+
+
+def _pack(frame) -> np.ndarray:
+    """The flat [rgb bytes][depth LE bytes] frame contract."""
+    h, w = frame.depth.shape
+    packed = np.empty((h * w * 5,), np.uint8)
+    packed[: h * w * 3] = np.ascontiguousarray(frame.rgb, np.uint8).reshape(-1)
+    packed[h * w * 3 :] = (
+        np.ascontiguousarray(frame.depth, "<u2").view(np.uint8).reshape(-1)
+    )
+    return packed
+
+
+class TestBatchedEquivalence:
+    def test_scenes_and_plans_match_single_stream_engine(self):
+        """Two streams with different synthetic scenes through the batched
+        graph == the single-stream Engine's device-planner path per stream."""
+        import jax
+
+        from tod_tpu.runtime.engine import Engine
+
+        eng = Engine(CFG, mode="detect", use_pallas=False, seed=0)
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        # identical init seed → identical params
+        for a, b in zip(jax.tree.leaves(eng.params), jax.tree.leaves(ms.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        frames = [
+            next(SyntheticSource(CAM, seed=s, n_frames=1).frames()) for s in (3, 11)
+        ]
+        batch = np.stack([_pack(f) for f in frames])
+
+        # scenes: per-sample identical math (batched fusion is a vmap)
+        scenes, _ = ms._scenes(ms.params, batch)
+        plans = np.asarray(ms._serve_plan_batch(ms.params, batch))
+        for i, frame in enumerate(frames):
+            import jax.numpy as jnp
+
+            h_single, balls_single = eng._serve_step_scene(
+                eng.params, jnp.asarray(_pack(frame))
+            )
+            h_b = np.asarray(scenes.height[i], np.float32)
+            np.testing.assert_allclose(
+                h_b, np.asarray(h_single, np.float32), atol=1e-4, rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(scenes.balls[i]),
+                np.asarray(balls_single),
+                atol=1e-3,
+                err_msg=f"stream {i} ball slots",
+            )
+            # plans: same n_valid and same total path cost (the path itself
+            # may tie-break differently across separately-compiled programs)
+            plan_single = np.asarray(eng._serve_step_plan(eng.params, jnp.asarray(_pack(frame))))
+            assert int(plans[i, 0, 0]) == int(plan_single[0, 0]), f"stream {i} n_valid"
+            np.testing.assert_allclose(
+                plans[i, 1:, 0].sum(),
+                plan_single[1:, 0].sum(),
+                rtol=1e-3,
+                err_msg=f"stream {i} total plan cost",
+            )
+
+    def test_run_loop_serves_all_streams(self):
+        """Three live streams → every store receives a path; per-stream paths
+        reflect per-stream scenes (distinct seeds → distinct ball layouts)."""
+        ms = MultiStreamEngine(CFG, n_streams=3, seed=0)
+        sources = [SyntheticSource(CAM, seed=s, n_frames=6) for s in (3, 11, 27)]
+        stores = [PathStore() for _ in sources]
+        import time
+
+        t0 = time.time()
+        m = ms.run(sources, n_ticks=6, path_stores=stores, max_inflight=2)
+        assert m["n_ticks"] >= 1
+        assert m["n_streams"] == 3
+        assert m["plans_done"] >= 3  # at least one fanout of 3 paths
+        assert m["fresh_frames"] >= 3
+        # every store received a freshly-planned path during the run (the
+        # random-init tiny model detects no balls, so the PATHS are empty —
+        # per-stream content fan-out is gated in test_fanout_routes_per_stream)
+        assert all(s.get().created >= t0 for s in stores)
+
+    def test_fanout_routes_per_stream(self):
+        """_PlanFanout: one (N, S+1, 2) buffer → N distinct per-stream
+        paths in the right stores."""
+        from tod_tpu.runtime.multistream import _PlanFanout
+
+        ms = MultiStreamEngine(CFG, n_streams=3, seed=0)
+        stores = [PathStore() for _ in range(3)]
+        fanout = _PlanFanout(ms, stores)
+        bufs = np.zeros((3, 5, 2), np.float32)
+        for i in range(3):
+            bufs[i, 0, 0] = i + 1  # n_valid = 1, 2, 3
+            bufs[i, 1 : 2 + i, 0] = float(10 * (i + 1))  # distinct magnitudes
+        import time
+
+        fanout.submit(bufs, time.perf_counter())
+        fanout.finish()
+        assert fanout.n_planned == 3
+        for i in range(3):
+            dirs = stores[i].get().directions
+            assert len(dirs) == i + 1
+            assert dirs[0][0] == pytest.approx(10.0 * (i + 1))
+
+    def test_stream_count_validation(self):
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        with pytest.raises(ValueError):
+            ms.run([SyntheticSource(CAM, seed=1, n_frames=1)], n_ticks=1)
+        with pytest.raises(ValueError):
+            ms.process(np.zeros((3, 48 * 64 * 5), np.uint8))
+        with pytest.raises(ValueError):
+            MultiStreamEngine(CFG, n_streams=0)
+
+
+class TestStreamFeed:
+    class _ListSource:
+        def __init__(self, frames):
+            self._frames = frames
+
+        def frames(self):
+            yield from self._frames
+
+        def close(self):
+            pass
+
+    def test_drop_old_and_fresh_flags(self):
+        frames = [next(SyntheticSource(CAM, seed=s, n_frames=1).frames()) for s in (1, 2, 3)]
+        feed = _StreamFeed(self._ListSource(frames))
+        # wait for the reader thread to drain all three frames
+        import time
+
+        deadline = time.time() + 5
+        while not feed.done and time.time() < deadline:
+            time.sleep(0.005)
+        assert feed.done and feed.has_frame and feed.has_fresh
+        buf, fresh = feed.take()
+        assert fresh == 1
+        np.testing.assert_array_equal(buf, _pack(frames[-1]))  # latest wins
+        # nothing new: held frame, fresh=0
+        assert not feed.has_fresh
+        buf2, fresh2 = feed.take()
+        assert fresh2 == 0
+        np.testing.assert_array_equal(buf2, buf)
+        feed.close()
+
+
+class TestStreamProtocol:
+    @pytest.fixture()
+    def multi_server(self):
+        stores = [PathStore() for _ in range(3)]
+        t, srv = run_in_thread(
+            stores[0], ServerConfig(port=0), stream_stores=stores
+        )
+        yield stores, srv
+        stop_thread_server(srv)
+        t.join(timeout=5)
+
+    def test_getpthn_per_stream(self, multi_server):
+        stores, srv = multi_server
+        for i, s in enumerate(stores):
+            s.set(Path(created=1700000000.0 + i, directions=[(float(i), 0.5)]))
+        with PathClient(port=srv.port) as c:
+            for i in range(3):
+                p = c.get_path_stream(i)
+                assert p.directions == [(float(i), 0.5)]
+            # legacy single-store commands keep serving stream 0
+            assert c.get_path().directions == [(0.0, 0.5)]
+
+    def test_newpthn_resets_only_that_stream(self, multi_server):
+        stores, srv = multi_server
+        for i, s in enumerate(stores):
+            s.set(Path(created=1.0, directions=[(float(i) + 1.0, 0.0)]))
+        with PathClient(port=srv.port) as c:
+            assert c.new_path_stream(1)
+        assert stores[1].get().directions == []
+        assert stores[0].get().directions == [(1.0, 0.0)]
+        assert stores[2].get().directions == [(3.0, 0.0)]
+
+    def test_out_of_range_stream_drops_connection(self, multi_server):
+        stores, srv = multi_server
+        import socket
+
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sk:
+            sk.sendall(b"GetPthN" + struct.pack(">I", 99))
+            assert sk.recv(64) == b""  # server dropped us (RequestError policy)
+        assert srv.counters["errors"] >= 1
+
+    def test_stats_reports_streams(self, multi_server):
+        stores, srv = multi_server
+        stores[2].set(Path(created=1.0, directions=[(1.0, 2.0)]))
+        with PathClient(port=srv.port) as c:
+            st = c.get_stats()
+        assert len(st["streams"]) == 3
+        assert st["streams"][2]["path_len"] == 1

@@ -72,6 +72,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="dispatch the fused frame+plan graph every N frames "
         "(path staleness bound; 0 = plan only at batch sync points)",
     )
+    p.add_argument(
+        "--streams", type=int, default=1, metavar="N",
+        help="serve N camera streams through one batched device graph "
+        "(runtime/multistream.py); per-stream paths over GetPthN/NewPthN",
+    )
     p.add_argument("--debug-dump", action="store_true", help="write map.bmp etc. per run")
     p.add_argument("--metrics-json", action="store_true", help="print metrics as JSON at exit")
     return p
@@ -144,6 +149,9 @@ def main(argv=None) -> int:
             return TraceSource(args.trace, loop=True, n_frames=args.frames)
         return RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
 
+    if args.streams > 1:
+        return _main_multistream(args, cfg, cam, params, make_source)
+
     source = make_source()
 
     engine = Engine(cfg, params=params, mode=args.mode)
@@ -197,6 +205,57 @@ def main(argv=None) -> int:
             metrics["n_frames"],
             metrics["fps"],
             metrics["stages"].get("plan", {}).get("p50_ms"),
+        )
+    return 0
+
+
+def _main_multistream(args, cfg, cam, params, make_source) -> int:
+    """--streams N: one batched device graph serving N camera feeds, with
+    per-stream paths on the wire (GetPthN/NewPthN)."""
+    from tod_tpu.runtime.frame_source import SyntheticSource
+    from tod_tpu.runtime.multistream import MultiStreamEngine
+    from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
+
+    n = args.streams
+    if args.source == "synthetic":
+        # seed-varied feeds (a rig's cameras see different scenes)
+        sources = [SyntheticSource(cam, seed=i, n_frames=args.frames) for i in range(n)]
+    else:
+        sources = [make_source() for _ in range(n)]
+    engine = MultiStreamEngine(cfg, n_streams=n, params=params)
+    stores = [PathStore() for _ in range(n)]
+    server_thread = server = None
+    if not args.no_server:
+        stats_fn = lambda: {  # noqa: E731
+            "ticks_per_s": engine.fps.fps,
+            "stages": engine.timer.summary(),
+        }
+        server_thread, server = run_in_thread(
+            stores[0], cfg.server, stats_fn=stats_fn, stream_stores=stores
+        )
+        logging.info(
+            "path server on %s:%s (%d streams)", cfg.server.host, server.port, n
+        )
+    try:
+        metrics = engine.run(
+            sources,
+            n_ticks=args.frames,
+            path_stores=stores,
+            max_inflight=args.max_inflight or None,
+        )
+    finally:
+        for s in sources:
+            s.close()
+        if server is not None:
+            stop_thread_server(server)
+            if server_thread is not None:
+                server_thread.join(timeout=5)
+    if args.metrics_json:
+        print(json.dumps(metrics, default=float))
+    else:
+        logging.info(
+            "done: %d ticks x %d streams, %.1f frames/s aggregate",
+            metrics["n_ticks"], n, metrics["frames_per_s"],
         )
     return 0
 

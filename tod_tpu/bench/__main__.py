@@ -10,13 +10,13 @@ import json
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     g = p.add_mutually_exclusive_group(required=True)
-    g.add_argument("--config", type=int, choices=range(1, 16))
+    g.add_argument("--config", type=int, choices=range(1, 17))
     g.add_argument("--all", action="store_true")
     args = p.parse_args(argv)
 
     from tod_tpu.bench import run_config
 
-    todo = range(1, 16) if args.all else [args.config]
+    todo = range(1, 17) if args.all else [args.config]
     for n in todo:
         print(json.dumps(run_config(n)))
     return 0

@@ -907,6 +907,47 @@ def config12_chunked_train_wall() -> dict:
     }
 
 
+def config16_multistream_serving() -> dict:
+    """Config 16: multi-stream serving — N QVGA camera feeds batched through
+    ONE fused frame+plan graph per tick (runtime/multistream.py).  The
+    capacity story: the reference serves one robot from one Coral; a single
+    v5e serves a fleet.  Reports aggregate frames/s (ticks × N), tick rate,
+    and the per-tick plan fanout latency."""
+    import jax
+
+    from tod_tpu.runtime.frame_source import SyntheticSource
+    from tod_tpu.runtime.multistream import MultiStreamEngine
+    from tod_tpu.serve.server import PathStore
+
+    on_tpu = _on_tpu()
+    cfg = _pipeline_cfg()
+    n_streams = 4 if on_tpu else 2
+    n_ticks = 100 if on_tpu else 3
+    eng = MultiStreamEngine(
+        cfg, n_streams=n_streams, params=_pinned_params(), seed=0
+    )
+    sources = [
+        SyntheticSource(cfg.camera, seed=7 + i, n_frames=None)
+        for i in range(n_streams)
+    ]
+    stores = [PathStore() for _ in range(n_streams)]
+    m = eng.run(sources, n_ticks=n_ticks, path_stores=stores, max_inflight=4)
+    return {
+        "metric": f"fps_multistream_{n_streams}x320x240",
+        "value": round(m["frames_per_s"], 3),
+        "unit": "frames/s",
+        # aggregate throughput vs the reference's single <7 FPS stream
+        "vs_baseline": round(m["frames_per_s"] / REF_FRAME_FPS, 3),
+        "n_streams": n_streams,
+        "ticks_per_s": round(m["ticks_per_s"], 3),
+        "plan_p50_ms": eng.timer.stats("plan").get("p50_ms"),
+        "plan_fanout_p50_ms": eng.timer.stats("latency").get("p50_ms"),
+        "plans_done": m["plans_done"],
+        "compile_s": round(m["compile_s"], 2),
+        "backend": jax.default_backend(),
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
@@ -923,6 +964,7 @@ CONFIGS = {
     13: config13_int8_batch_throughput,
     14: config14_batch_scaling,
     15: config15_backbone_family,
+    16: config16_multistream_serving,
 }
 
 

@@ -41,6 +41,49 @@ def _call_quietly(fn) -> None:
         pass
 
 
+def prepare_serving_params(model, cfg: PipelineConfig, params: Any = None, seed: int = 0):
+    """One-time serving parameter preparation, shared by :class:`Engine` and
+    :class:`~tod_tpu.runtime.multistream.MultiStreamEngine`.
+
+    ``params is None`` → jit'd random init (eager init dispatches thousands of
+    tiny ops — pathological over a remote-compile tunnel).  Otherwise: fold BN
+    into conv kernels (batch_stats are constants at serving), bake static int8
+    weights + calibrated activation scales in quantized mode (the reference's
+    u8 graph was its SPEED mode — data/README.md:27-32), and ``device_put``
+    once (checkpoints restore as host numpy; without the explicit transfer
+    every jitted frame step re-uploads the ~15 MB tree)."""
+    if params is None:
+        x0 = jnp.zeros((1, *cfg.model.input_size, 3), jnp.bfloat16)
+        return jax.jit(lambda k: model.init(k, x0, train=False))(
+            jax.random.PRNGKey(seed)
+        )
+    from tod_tpu.models.prepare import fold_batchnorm
+
+    params = fold_batchnorm(params)
+    if cfg.model.quantized:
+        params = _calibrate_int8(model, cfg, params)
+    return jax.device_put(params)
+
+
+def _calibrate_int8(model, cfg: PipelineConfig, variables, n_calib: int = 4):
+    """Calibrate + quantize a (BN-folded) float tree for static-int8 serving.
+    Calibration runs synthetic frames (the train distribution) through the
+    dynamic quantized graph; see models/prepare.py."""
+    from tod_tpu.models.prepare import calibrate_amax, quantize_prepared
+    from tod_tpu.runtime.frame_source import SyntheticSource
+
+    mcfg = cfg.model
+    src = SyntheticSource(cfg.camera, seed=101, n_frames=n_calib)
+    batches = [
+        preprocess_frame(jnp.asarray(f.rgb), mcfg.input_size, jnp.dtype(mcfg.dtype))
+        for f in src.frames()
+    ]
+    calib = calibrate_amax(model, variables, batches)
+    return quantize_prepared(
+        variables, calib, quantize_depthwise=mcfg.quantize_depthwise
+    )
+
+
 class Engine:
     """Builds and drives the fused per-frame device graph.
 
@@ -71,31 +114,8 @@ class Engine:
         self.use_pallas = use_pallas
         self.model, self.anchors = create_model(self.cfg.model)
         cam_hw = (self.cfg.camera.height, self.cfg.camera.width)
-        if params is None:
-            x0 = jnp.zeros((1, *self.cfg.model.input_size, 3), jnp.bfloat16)
-            # jit the init: eager init dispatches thousands of tiny ops, which
-            # is pathological over a remote-compile TPU tunnel
-            params = jax.jit(lambda k: self.model.init(k, x0, train=False))(
-                jax.random.PRNGKey(seed)
-            )
-        else:
-            # One-time serving preparation (models/prepare.py): fold BN into
-            # conv kernels (batch_stats are constants at serving), and in
-            # quantized mode additionally bake static int8 weights +
-            # calibrated activation scales so the serve step does zero
-            # per-forward quantization work (the reference's u8 graph was its
-            # SPEED mode — data/README.md:27-32).
-            from tod_tpu.models.prepare import fold_batchnorm
-
-            params = fold_batchnorm(params)
-            if self.cfg.model.quantized:
-                params = self._prepare_int8(params)
-            # checkpoints restore as HOST numpy arrays — without an explicit
-            # device_put every jitted frame step would re-upload the full
-            # parameter tree through the transport (~15 MB ≈ hundreds of ms
-            # per frame on the remote tunnel)
-            params = jax.device_put(params)
-        self.params = params
+        self.params = prepare_serving_params(self.model, self.cfg, params, seed)
+        params = self.params
         self.timer = StageTimer()
         self.fps = FPSMeter()
 
@@ -242,22 +262,9 @@ class Engine:
         )
 
     def _prepare_int8(self, variables, n_calib: int = 4):
-        """Calibrate + quantize a (BN-folded) float tree for static-int8
-        serving.  Calibration runs synthetic frames (the train distribution)
-        through the dynamic quantized graph; see models/prepare.py."""
-        from tod_tpu.models.prepare import calibrate_amax, quantize_prepared
-        from tod_tpu.runtime.frame_source import SyntheticSource
-
-        mcfg = self.cfg.model
-        src = SyntheticSource(self.cfg.camera, seed=101, n_frames=n_calib)
-        batches = [
-            preprocess_frame(jnp.asarray(f.rgb), mcfg.input_size, jnp.dtype(mcfg.dtype))
-            for f in src.frames()
-        ]
-        calib = calibrate_amax(self.model, variables, batches)
-        return quantize_prepared(
-            variables, calib, quantize_depthwise=mcfg.quantize_depthwise
-        )
+        """Back-compat shim → :func:`_calibrate_int8` (shared with the
+        multi-stream engine)."""
+        return _calibrate_int8(self.model, self.cfg, variables, n_calib=n_calib)
 
     def _plan_payload(self, out_d):
         """What the planner worker receives for one plan.  Device mode:

@@ -1,0 +1,369 @@
+"""Multi-stream serving: N camera feeds through ONE batched device graph.
+
+The reference serves a single robot from a single camera (src/main.rs:33-97).
+A TPU chip runs the fused QVGA frame step in ~5 ms — far more capacity than
+one 30 FPS camera uses — so the TPU-native deployment shape is one chip
+serving N streams at once: a multi-camera robot, or a fleet of robots sharing
+an inference host.  Each tick gathers the LATEST frame from every stream
+(drop-old per stream — the same freshest-scene policy as the single-stream
+camera ring), packs them into one (N, H·W·5) u8 buffer, and runs
+
+    preprocess → YOLACT → detect → geometry fusion → device planner
+
+for ALL N streams as ONE batched XLA program.  The model forward batches on
+the MXU (batch-16 VGA measures MFU 0.28 vs 0.006 at batch-1 —
+docs/performance.md), detection cleanup vmaps per sample, and the planner's
+Bellman-Ford relaxation vmaps over scenes; the only readback is the
+(N, max_steps+1, 2) plan buffer (~8 KB per stream).
+
+Per-stream paths land in per-stream :class:`~tod_tpu.serve.server.PathStore`s
+served over the same TCP control plane via the ``GetPthN``/``NewPthN``
+stream-indexed commands (serve/server.py).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tod_tpu.core.config import PipelineConfig
+from tod_tpu.geometry.fusion import fuse_scene_batch
+from tod_tpu.models.yolact import create_model, detect_batch
+from tod_tpu.ops.preprocess import normalize, resize_triangle
+from tod_tpu.runtime.engine import prepare_serving_params
+from tod_tpu.runtime.profiler import FPSMeter, StageTimer
+from tod_tpu.serve.server import PathStore
+
+
+class MultiStreamEngine:
+    """Builds and drives the batched N-stream device graph.
+
+    One PipelineConfig covers all streams (same camera geometry / model /
+    planner for every feed — the multi-camera-rig assumption).  Detection
+    cleanup is the vmapped jnp path (detect_batch), identical math to the
+    single-stream Engine's non-Pallas path.
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig | None = None,
+        n_streams: int = 2,
+        params: Any = None,
+        seed: int = 0,
+    ):
+        if n_streams < 1:
+            raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        self.cfg = cfg or PipelineConfig()
+        from tod_tpu.core.config import validate
+
+        problems = validate(self.cfg)
+        if problems:
+            raise ValueError("invalid PipelineConfig: " + "; ".join(problems))
+        self.n_streams = n_streams
+        self.model, self.anchors = create_model(self.cfg.model)
+        self.params = prepare_serving_params(self.model, self.cfg, params, seed)
+        self.timer = StageTimer()
+        self.fps = FPSMeter()
+
+        mcfg = self.cfg.model
+        cam, geom, pcfg = self.cfg.camera, self.cfg.geometry, self.cfg.planner
+        cam_hw = (cam.height, cam.width)
+        model, anchors = self.model, self.anchors
+        n_rgb = cam_hw[0] * cam_hw[1] * 3
+
+        from tod_tpu.planner.dijkstra import start_node_yx
+        from tod_tpu.planner.tpu_relax import plan_on_device
+
+        start_yx = start_node_yx(cam_hw, offset=pcfg.start_offset)
+
+        def _scenes(p, packed):
+            """(N, H·W·5) u8 → batched Scene (same unpack contract as the
+            single-stream Engine's packed serve steps)."""
+            rgb = packed[:, :n_rgb].reshape(-1, *cam_hw, 3)
+            depth = jax.lax.bitcast_convert_type(
+                packed[:, n_rgb:].reshape(-1, *cam_hw, 2), jnp.uint16
+            )
+            x = normalize(resize_triangle(rgb, mcfg.input_size), jnp.dtype(mcfg.dtype))
+            out = model.apply(p, x, train=False)
+            dets = detect_batch(out, mcfg, anchors, out_hw=cam_hw)
+            scenes = fuse_scene_batch(depth, dets.class_map, dets.id_map, cam, geom)
+            return scenes, dets
+
+        def _plan_one(height, balls):
+            return plan_on_device(
+                height.astype(jnp.float32),
+                balls,
+                start_yx,
+                max_seeds=pcfg.max_seed_balls,
+                min_pixels=pcfg.min_ball_pixels,
+                max_steps=pcfg.max_path_steps,
+                max_iters=pcfg.tpu_max_iters,
+                signed=pcfg.signed_turns,
+            )
+
+        def _serve_plan_batch(p, packed):
+            """The full N-stream tick: frames in, (N, max_steps+1, 2) plan
+            buffers out — one dispatch, one ~8·N KB readback."""
+            scenes, _ = _scenes(p, packed)
+            return jax.vmap(_plan_one)(scenes.height, scenes.balls)
+
+        self._scenes = jax.jit(_scenes)
+        self._serve_plan_batch = jax.jit(_serve_plan_batch)
+
+    def warmup(self) -> float:
+        """Compile the batched graph on dummy frames; returns compile secs."""
+        h, w = self.cfg.camera.height, self.cfg.camera.width
+        packed = jnp.zeros((self.n_streams, h * w * 5), jnp.uint8)
+        t0 = time.perf_counter()
+        jax.block_until_ready(self._serve_plan_batch(self.params, packed))
+        return time.perf_counter() - t0
+
+    def process(self, packed_np: np.ndarray):
+        """One batched tick from pre-packed host frames (N, H·W·5) u8 →
+        device-resident (N, max_steps+1, 2) plan buffers."""
+        if packed_np.shape[0] != self.n_streams:
+            raise ValueError(
+                f"expected {self.n_streams} streams, got {packed_np.shape[0]}"
+            )
+        return self._serve_plan_batch(self.params, jnp.asarray(packed_np))
+
+    def run(
+        self,
+        sources: Sequence,
+        n_ticks: int | None = None,
+        path_stores: Optional[Sequence[PathStore]] = None,
+        warmup: bool = True,
+        max_inflight: int | None = 4,
+        sync_every: int = 16,
+    ) -> dict:
+        """Drive N streams; returns metrics.
+
+        Each source feeds a latest-frame slot on its own thread (drop-old per
+        stream).  A tick waits until every stream has produced at least one
+        fresh-or-held frame, packs the batch, and dispatches the fused
+        batch-plan graph; a planner thread materializes the freshest plan
+        buffer into the per-stream stores.  ``max_inflight`` bounds dispatch
+        depth (multi-stream serving is a latency product — default 4, the
+        measured knee of the latency/throughput curve, bench config 8).
+        The run ends when every source is exhausted or after ``n_ticks``.
+        """
+        if path_stores is not None and len(path_stores) != len(sources):
+            raise ValueError("need one PathStore per source")
+        if len(sources) != self.n_streams:
+            raise ValueError(
+                f"engine built for {self.n_streams} streams, got {len(sources)} sources"
+            )
+        compile_s = self.warmup() if warmup else 0.0
+        feeds = [_StreamFeed(s) for s in sources]
+        fanout = _PlanFanout(self, path_stores)
+        from collections import deque
+
+        inflight: "deque" = deque()
+        n_done = 0
+        fresh_total = 0
+        out_d = None
+        t_start = time.perf_counter()
+        t_batch = t_start
+        batch_n = 0
+        try:
+            while n_ticks is None or n_done < n_ticks:
+                batch, fresh = _gather(feeds, timeout=2.0)
+                if batch is None:
+                    break  # every stream exhausted (or none produced in time)
+                t_dispatch = time.perf_counter()
+                out_d = self._serve_plan_batch(
+                    self.params, jax.device_put(batch)
+                )
+                if max_inflight is not None:
+                    inflight.append(out_d)
+                    if len(inflight) > max_inflight:
+                        jax.block_until_ready(inflight.popleft())
+                try:
+                    out_d.copy_to_host_async()
+                except (AttributeError, NotImplementedError, TypeError):
+                    pass
+                fanout.submit(out_d, t_dispatch)
+                n_done += 1
+                fresh_total += fresh
+                batch_n += 1
+                if batch_n >= sync_every:
+                    jax.block_until_ready(out_d)
+                    now = time.perf_counter()
+                    per = (now - t_batch) / batch_n
+                    for _ in range(batch_n):
+                        self.timer.record("tick", per)
+                        self.fps.tick()
+                    t_batch, batch_n = now, 0
+        finally:
+            if out_d is not None and batch_n:
+                jax.block_until_ready(out_d)
+                per = (time.perf_counter() - t_batch) / batch_n
+                for _ in range(batch_n):
+                    self.timer.record("tick", per)
+                    self.fps.tick()
+            wall = time.perf_counter() - t_start
+            for f in feeds:
+                f.close()
+            fanout.finish()
+        return {
+            "n_ticks": n_done,
+            "n_streams": self.n_streams,
+            "fresh_frames": fresh_total,
+            "wall_s": wall,
+            "ticks_per_s": n_done / wall if wall > 0 else 0.0,
+            "frames_per_s": n_done * self.n_streams / wall if wall > 0 else 0.0,
+            "fresh_frames_per_s": fresh_total / wall if wall > 0 else 0.0,
+            "plans_done": fanout.n_planned,
+            "compile_s": compile_s,
+            "stages": self.timer.summary(),
+        }
+
+
+def _gather(feeds, timeout: float):
+    """One batch from the latest-frame slots: (N, H·W·5) u8 + fresh count.
+
+    A tick runs when every stream has a frame and at least one is fresh;
+    streams with nothing new hold their previous frame (their plan stays
+    current rather than stale-empty).  Returns ``(None, 0)`` once every feed
+    is exhausted with nothing unconsumed, or when nothing fresh arrives
+    within ``timeout`` (wedged sources must not hang the tick loop —
+    supervision handles them, runtime/watchdog.py).
+    """
+    deadline = time.monotonic() + timeout
+    while True:
+        if all(f.has_frame for f in feeds):
+            if any(f.has_fresh for f in feeds):
+                snaps = [f.take() for f in feeds]
+                return np.stack([b for b, _ in snaps]), sum(fr for _, fr in snaps)
+            if all(f.done for f in feeds):
+                return None, 0  # exhausted; final frames already planned
+        elif all(f.done for f in feeds):
+            return None, 0  # some stream died before its first frame
+        if time.monotonic() > deadline:
+            return None, 0
+        time.sleep(0.001)
+
+
+class _StreamFeed:
+    """Per-source latest-frame slot (drop-old): a reader thread packs frames
+    into the flat [rgb bytes][depth LE bytes] buffer — the same two-memcpy
+    contract as the single-stream uploader — and overwrites the slot."""
+
+    def __init__(self, source):
+        self._source = source
+        self._lock = threading.Lock()
+        self._buf: np.ndarray | None = None
+        self._seq = 0  # bumps on every new frame
+        self._taken = 0  # last seq handed out
+        self.done = False
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="tod-stream-feed"
+        )
+        self._thread.start()
+
+    def _loop(self) -> None:
+        try:
+            for frame in self._source.frames():
+                if self._stop:
+                    break
+                h, w = frame.depth.shape
+                packed = np.empty((h * w * 5,), np.uint8)
+                packed[: h * w * 3] = np.ascontiguousarray(
+                    frame.rgb, np.uint8
+                ).reshape(-1)
+                packed[h * w * 3 :] = (
+                    np.ascontiguousarray(frame.depth, "<u2").view(np.uint8).reshape(-1)
+                )
+                with self._lock:
+                    self._buf = packed
+                    self._seq += 1
+        finally:
+            self.done = True
+
+    @property
+    def has_frame(self) -> bool:
+        """Non-consuming: has this stream produced at least one frame?"""
+        with self._lock:
+            return self._buf is not None
+
+    @property
+    def has_fresh(self) -> bool:
+        """Non-consuming: is there a frame newer than the last ``take()``?"""
+        with self._lock:
+            return self._seq > self._taken
+
+    def take(self) -> tuple[np.ndarray | None, int]:
+        """(buffer, fresh) — consumes freshness: ``fresh`` is 1 when the
+        buffer is newer than the last take (held frames return 0)."""
+        with self._lock:
+            fresh = int(self._seq > self._taken)
+            self._taken = self._seq
+            return self._buf, fresh
+
+    def close(self) -> None:
+        self._stop = True
+        try:
+            self._source.close()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
+
+
+class _PlanFanout:
+    """Depth-1 plan materializer: reads back the freshest (N, S+1, 2) plan
+    buffer (drop-old) and fans the per-stream Paths out to the stores."""
+
+    def __init__(self, engine: MultiStreamEngine, stores: Optional[Sequence[PathStore]]):
+        self.engine = engine
+        self.stores = stores
+        self.n_planned = 0
+        self._slot = None
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="tod-plan-fanout"
+        )
+        self._thread.start()
+
+    def submit(self, plans_d, t_dispatch: float) -> None:
+        with self._cv:
+            self._slot = (plans_d, t_dispatch)
+            self._cv.notify()
+
+    def _loop(self) -> None:
+        from tod_tpu.planner.api import materialize_path
+
+        while True:
+            with self._cv:
+                while self._slot is None and not self._stop:
+                    self._cv.wait()
+                if self._slot is None and self._stop:
+                    return
+                plans_d, t0 = self._slot
+                self._slot = None
+            with self.engine.timer.stage("plan"):
+                bufs = np.asarray(plans_d)  # one readback for all N streams
+                paths = [materialize_path(bufs[i]) for i in range(bufs.shape[0])]
+            self.engine.timer.record("latency", time.perf_counter() - t0)
+            self.n_planned += len(paths)
+            if self.stores is not None:
+                for store, path in zip(self.stores, paths):
+                    store.set(path)
+
+    def finish(self) -> None:
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            with self._cv:
+                if self._slot is None:
+                    break
+            time.sleep(0.005)
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=10)

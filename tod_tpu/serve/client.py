@@ -185,6 +185,26 @@ class PathClient:
 
         return self._request(op)
 
+    def get_path_stream(self, stream: int) -> Path:
+        """Multi-stream extension (``GetPthN``): the path for one camera
+        stream (runtime/multistream.py), length-prefixed framing."""
+
+        def op() -> Path:
+            self.sock.sendall(b"GetPthN" + int(stream).to_bytes(4, "big"))
+            n = int.from_bytes(self._read_exactly(4), "big")
+            return Path.deserialize(self._read_exactly(n))
+
+        return self._request(op)
+
+    def new_path_stream(self, stream: int) -> bool:
+        """Multi-stream extension (``NewPthN``): reset one stream's path."""
+
+        def op() -> bool:
+            self.sock.sendall(b"NewPthN" + int(stream).to_bytes(4, "big"))
+            return self._read_exactly(2) == b"OK"
+
+        return self._request(op)
+
     def get_stats(self) -> dict:
         """Observability extension (``GetStat``): length-prefixed JSON of
         server counters, path staleness, and live pipeline metrics."""

@@ -60,13 +60,20 @@ class PathServer:
         store: PathStore,
         cfg: ServerConfig | None = None,
         stats_fn=None,
+        stream_stores: "list[PathStore] | None" = None,
     ) -> None:
         self.store = store
+        # multi-stream serving (runtime/multistream.py): one store per camera
+        # stream, addressed over the wire by the GetPthN/NewPthN commands.
+        # The legacy single-store commands keep serving ``store`` (by
+        # convention stream 0 when the caller passes stream_stores[0] here).
+        self.stream_stores = stream_stores
         self.cfg = cfg or ServerConfig()
         self.stats_fn = stats_fn
         self._started = time.time()
         self.counters = {
             "NewPath": 0, "GetPath": 0, "GetPth2": 0, "GetStat": 0,
+            "GetPthN": 0, "NewPthN": 0,
             "AuthTok": 0, "unauthorized": 0, "errors": 0,
         }
         self._server: asyncio.AbstractServer | None = None
@@ -140,6 +147,34 @@ class PathServer:
                     payload = self.store.get().serialize()
                     writer.write(len(payload).to_bytes(4, "big") + payload)
                     await writer.drain()
+                elif buf in (b"GetPthN", b"NewPthN"):
+                    # multi-stream extension: 7-byte command + u32 BE stream
+                    # index.  GetPthN → length-prefixed serialized path of
+                    # that stream (GetPth2 framing); NewPthN → reset that
+                    # stream's path, reply OK.  Out-of-range / no multi-stream
+                    # registry → RequestError semantics (log + drop), matching
+                    # the reference's unknown-command policy (src/path.rs:173-176).
+                    cmd = buf.decode()
+                    try:
+                        idx = int.from_bytes(await reader.readexactly(4), "big")
+                    except asyncio.IncompleteReadError:
+                        return
+                    stores = self.stream_stores
+                    if stores is None or not (0 <= idx < len(stores)):
+                        self.counters["errors"] += 1
+                        log.error(
+                            "RequestError(%s stream %d of %s)", cmd, idx,
+                            "none" if stores is None else len(stores),
+                        )
+                        return
+                    self.counters[cmd] += 1
+                    if cmd == "NewPthN":
+                        stores[idx].reset()
+                        writer.write(b"OK")
+                    else:
+                        payload = stores[idx].get().serialize()
+                        writer.write(len(payload).to_bytes(4, "big") + payload)
+                    await writer.drain()
                 elif buf == b"GetStat":
                     # observability extension: length-prefixed JSON of server
                     # counters + path staleness + live pipeline metrics
@@ -173,6 +208,15 @@ class PathServer:
             # the wire Path can't carry the flag, so it surfaces here
             "path_truncated": bool(getattr(path, "truncated", False)),
         }
+        if self.stream_stores is not None:
+            out["streams"] = [
+                {
+                    "path_age_s": time.time() - p.created,
+                    "path_len": len(p.directions),
+                    "path_truncated": bool(getattr(p, "truncated", False)),
+                }
+                for p in (s.get() for s in self.stream_stores)
+            ]
         if self.stats_fn is not None:
             try:
                 out["pipeline"] = self.stats_fn()
@@ -219,12 +263,17 @@ class PathServer:
             self._server = None
 
 
-def run_in_thread(store: PathStore, cfg: ServerConfig | None = None, stats_fn=None):
+def run_in_thread(
+    store: PathStore,
+    cfg: ServerConfig | None = None,
+    stats_fn=None,
+    stream_stores: "list[PathStore] | None" = None,
+):
     """Start the server on a daemon thread with its own event loop; returns
     ``(thread, server)`` or raises if the server fails to start — the runtime
     uses this so the TPU loop and the control plane stay independent (the
     reference's tokio task split, src/main.rs:56-61)."""
-    server = PathServer(store, cfg, stats_fn=stats_fn)
+    server = PathServer(store, cfg, stats_fn=stats_fn, stream_stores=stream_stores)
     ready = threading.Event()
     loop_holder: dict = {}
 

@@ -8,3 +8,4 @@ from tod_tpu.parallel.sharding import (  # noqa: F401
     state_sharding_tree,
 )
 from tod_tpu.parallel.spatial import spatial_sharded_forward  # noqa: F401
+from tod_tpu.parallel.pipeline import TwoStagePipeline  # noqa: F401

@@ -136,8 +136,37 @@ def profile_qvga_serve(plan: bool = False) -> None:
     _print_report(capture_trace(lambda p: step(eng.params, p), packed), title)
 
 
-def _print_report(path: str, title: str) -> None:
-    total, by_cat, top = top_ops(path)
+def profile_train_step(batch: int = 8, hw=(240, 320), iters: int = 4) -> None:
+    """Trace + print the flagship train-step breakdown (fwd + loss + bwd +
+    optimizer, the config-11 shape).  The step donates its TrainState, so
+    the trace loop must CARRY the state instead of re-calling on stale args
+    (capture_trace's fixed-args replay would pass an already-donated
+    buffer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tod_tpu.core.config import ModelConfig, TrainConfig
+    from tod_tpu.train import SyntheticDetectionData, Trainer
+
+    tcfg = TrainConfig(batch_size=batch, warmup_steps=2, total_steps=100)
+    trainer = Trainer(ModelConfig(input_size=hw), tcfg)
+    data = SyntheticDetectionData(hw, batch_size=batch, seed=0)
+    b = {k: jnp.asarray(v) for k, v in data.next_batch().items()}
+    trainer.state, m = trainer._step(trainer.state, b)  # warm/compile
+    jax.block_until_ready(m["loss"])
+    logdir = tempfile.mkdtemp(prefix="tod-trace-")
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            trainer.state, m = trainer._step(trainer.state, b)
+        jax.block_until_ready(m["loss"])
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    if not files:
+        raise RuntimeError(f"no xplane.pb produced under {logdir}")
+    _print_report(files[0], f"batch-{batch} {hw} train step", iters=iters)
+
+
+def _print_report(path: str, title: str, iters: int = 4) -> None:
+    total, by_cat, top = top_ops(path, iters=iters)
     print(f"== {title}: {total:.3f} ms/step (device op time) ==")
     print("-- by category --")
     for c, ms in by_cat[:12]:
@@ -153,9 +182,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--qvga-serve", action="store_true")
     ap.add_argument("--plan", action="store_true", help="fused frame+plan graph")
+    ap.add_argument("--train", action="store_true", help="QVGA batch-N train step")
     ap.add_argument("--batch", type=int, default=16)
     a = ap.parse_args()
-    if a.qvga_serve or a.plan:
+    if a.train:
+        profile_train_step(batch=a.batch if a.batch != 16 else 8)
+    elif a.qvga_serve or a.plan:
         profile_qvga_serve(plan=a.plan)
     else:
         profile_flagship_forward(batch=a.batch)

@@ -174,6 +174,23 @@ class TestStreamFeed:
         feed.close()
 
 
+class TestPacedSource:
+    def test_paces_to_fps_without_skipping(self):
+        import time
+
+        from tod_tpu.runtime.frame_source import PacedSource
+
+        src = PacedSource(SyntheticSource(CAM, seed=1, n_frames=5), fps=50.0)
+        t0 = time.monotonic()
+        frames = list(src.frames())
+        elapsed = time.monotonic() - t0
+        assert len(frames) == 5  # rate limit drops nothing
+        # 5 frames at 50 FPS: first immediate, 4 waits of 20 ms ≥ 80 ms
+        assert elapsed >= 0.95 * 4 * 0.02
+        with pytest.raises(ValueError):
+            PacedSource(SyntheticSource(CAM), fps=0)
+
+
 class TestStreamProtocol:
     @pytest.fixture()
     def multi_server(self):

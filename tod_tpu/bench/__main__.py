@@ -14,6 +14,22 @@ def main(argv=None) -> int:
     g.add_argument("--all", action="store_true")
     args = p.parse_args(argv)
 
+    # persistent compilation cache (same dir as the repo-root bench.py):
+    # config graphs cost minutes of XLA compile per cold run otherwise
+    import os
+
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from tod_tpu.bench import run_config
 
     todo = range(1, 17) if args.all else [args.config]

@@ -919,27 +919,44 @@ def config16_multistream_serving() -> dict:
     from tod_tpu.runtime.multistream import MultiStreamEngine
     from tod_tpu.serve.server import PathStore
 
+    from tod_tpu.runtime.frame_source import PacedSource
+
     on_tpu = _on_tpu()
     cfg = _pipeline_cfg()
     n_streams = 4 if on_tpu else 2
     n_ticks = 100 if on_tpu else 3
+    cam_fps = 30.0  # each feed models a real 30 FPS camera
     eng = MultiStreamEngine(
         cfg, n_streams=n_streams, params=_pinned_params(), seed=0
     )
     sources = [
-        SyntheticSource(cfg.camera, seed=7 + i, n_frames=None)
+        PacedSource(
+            SyntheticSource(cfg.camera, seed=7 + i, n_frames=None), fps=cam_fps
+        )
         for i in range(n_streams)
     ]
     stores = [PathStore() for _ in range(n_streams)]
-    m = eng.run(sources, n_ticks=n_ticks, path_stores=stores, max_inflight=4)
+    # paced feeds bound the dispatch rate at the camera clock, so the queue
+    # can't grow unboundedly — skip max_inflight's per-tick readiness check
+    # (one transport RTT each on this remote tunnel; see bench config 8)
+    m = eng.run(sources, n_ticks=n_ticks, path_stores=stores, max_inflight=None)
+    offered = n_streams * cam_fps
     return {
         "metric": f"fps_multistream_{n_streams}x320x240",
-        "value": round(m["frames_per_s"], 3),
+        # the honest served number: FRESH camera frames planned per second
+        # (ticks × N would also count re-planned held frames)
+        "value": round(m["fresh_frames_per_s"], 3),
         "unit": "frames/s",
         # aggregate throughput vs the reference's single <7 FPS stream
-        "vs_baseline": round(m["frames_per_s"] / REF_FRAME_FPS, 3),
+        "vs_baseline": round(m["fresh_frames_per_s"] / REF_FRAME_FPS, 3),
         "n_streams": n_streams,
+        "camera_fps_each": cam_fps,
+        "offered_fps": offered,
+        # served / offered: 1.0 = every camera frame of every stream planned
+        "served_ratio": round(min(m["fresh_frames_per_s"] / offered, 1.0), 3),
+        "processed_frames_per_s": round(m["frames_per_s"], 3),
         "ticks_per_s": round(m["ticks_per_s"], 3),
+        "tick_p50_ms": eng.timer.stats("tick").get("p50_ms"),
         "plan_p50_ms": eng.timer.stats("plan").get("p50_ms"),
         "plan_fanout_p50_ms": eng.timer.stats("latency").get("p50_ms"),
         "plans_done": m["plans_done"],

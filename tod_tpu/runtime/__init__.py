@@ -1,5 +1,6 @@
 from tod_tpu.runtime.frame_source import (  # noqa: F401
     FrameSource,
+    PacedSource,
     PNGSource,
     RingSource,
     SyntheticSource,

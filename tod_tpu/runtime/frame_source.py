@@ -12,6 +12,10 @@ exists in the TPU environment (SURVEY.md §2.2 item 3), so sources are:
 - ``RingSource``       the native producer-thread ring buffer pushing frames at
                        camera FPS (the tokio producer-task analog) — real
                        streaming semantics including frame drops
+- ``PacedSource``      wraps any source to emit at a fixed FPS (a real
+                       camera's rate limit) — multi-stream benchmarking needs
+                       this so N unpaced generators don't saturate the host
+                       core producing frames the drop-old policy discards
 """
 
 from __future__ import annotations
@@ -135,6 +139,39 @@ class PNGSource:
 
     def close(self) -> None:
         pass
+
+
+class PacedSource:
+    """Rate-limit any source to ``fps`` (a real camera's frame clock).
+
+    Sleeps the PRODUCER to the camera period, never skipping frames — the
+    drop-old consumers downstream decide what to discard.  Used by the
+    multi-stream bench so N synthetic generators model N 30 FPS cameras
+    instead of N busy loops fighting the (1-core) serving host."""
+
+    def __init__(self, source, fps: float = 30.0):
+        if fps <= 0:
+            raise ValueError(f"fps must be positive, got {fps}")
+        self._source = source
+        self._period = 1.0 / fps
+
+    def frames(self) -> Iterator[Frame]:
+        import time
+
+        next_t = time.monotonic()
+        for frame in self._source.frames():
+            now = time.monotonic()
+            if now < next_t:
+                time.sleep(next_t - now)
+                now = next_t
+            # schedule the next tick from the LATER of (plan, now): a slow
+            # consumer delays the clock instead of accumulating a backlog
+            # of instantly-released frames afterwards
+            next_t = max(next_t + self._period, now)
+            yield frame
+
+    def close(self) -> None:
+        self._source.close()
 
 
 _TRACE_MAGIC = b"TODTRACE"

@@ -140,6 +140,7 @@ class MultiStreamEngine:
         warmup: bool = True,
         max_inflight: int | None = 4,
         sync_every: int = 16,
+        tick_hold_s: float = 0.02,
     ) -> dict:
         """Drive N streams; returns metrics.
 
@@ -150,7 +151,10 @@ class MultiStreamEngine:
         buffer into the per-stream stores.  ``max_inflight`` bounds dispatch
         depth (multi-stream serving is a latency product — default 4, the
         measured knee of the latency/throughput curve, bench config 8).
-        The run ends when every source is exhausted or after ``n_ticks``.
+        ``tick_hold_s`` is the batching window after the first stream turns
+        fresh (see :func:`_gather` — one tick per camera period, not per
+        frame arrival).  The run ends when every source is exhausted or
+        after ``n_ticks``.
         """
         if path_stores is not None and len(path_stores) != len(sources):
             raise ValueError("need one PathStore per source")
@@ -172,7 +176,7 @@ class MultiStreamEngine:
         batch_n = 0
         try:
             while n_ticks is None or n_done < n_ticks:
-                batch, fresh = _gather(feeds, timeout=2.0)
+                batch, fresh = _gather(feeds, timeout=2.0, hold_s=tick_hold_s)
                 if batch is None:
                     break  # every stream exhausted (or none produced in time)
                 t_dispatch = time.perf_counter()
@@ -224,23 +228,37 @@ class MultiStreamEngine:
         }
 
 
-def _gather(feeds, timeout: float):
+def _gather(feeds, timeout: float, hold_s: float = 0.02):
     """One batch from the latest-frame slots: (N, H·W·5) u8 + fresh count.
 
-    A tick runs when every stream has a frame and at least one is fresh;
-    streams with nothing new hold their previous frame (their plan stays
-    current rather than stale-empty).  Returns ``(None, 0)`` once every feed
-    is exhausted with nothing unconsumed, or when nothing fresh arrives
-    within ``timeout`` (wedged sources must not hang the tick loop —
-    supervision handles them, runtime/watchdog.py).
+    Tick policy: once the FIRST stream turns fresh, wait up to ``hold_s``
+    for the rest to refresh too, then tick with whatever is fresh (late or
+    dead streams hold their previous frame — their plan stays current
+    rather than stale-empty).  Without the hold, N independently-clocked
+    cameras would trigger a tick per ARRIVAL (~N× the device work for the
+    same per-stream freshness); with it, one tick per camera period carries
+    ~N fresh frames.  Returns ``(None, 0)`` once every feed is exhausted
+    with nothing unconsumed, or when nothing fresh arrives within
+    ``timeout`` (wedged sources must not hang the tick loop — supervision
+    handles them, runtime/watchdog.py).
     """
     deadline = time.monotonic() + timeout
+    first_fresh_t: float | None = None
     while True:
         if all(f.has_frame for f in feeds):
-            if any(f.has_fresh for f in feeds):
+            n_fresh = sum(1 for f in feeds if f.has_fresh)
+            if n_fresh == len(feeds):
+                pass  # everyone refreshed — tick now
+            elif n_fresh and first_fresh_t is None:
+                first_fresh_t = time.monotonic()
+            if n_fresh and (
+                n_fresh == len(feeds)
+                or all(f.done for f in feeds)  # no more frames coming
+                or time.monotonic() - (first_fresh_t or 0.0) >= hold_s
+            ):
                 snaps = [f.take() for f in feeds]
                 return np.stack([b for b, _ in snaps]), sum(fr for _, fr in snaps)
-            if all(f.done for f in feeds):
+            if n_fresh == 0 and all(f.done for f in feeds):
                 return None, 0  # exhausted; final frames already planned
         elif all(f.done for f in feeds):
             return None, 0  # some stream died before its first frame

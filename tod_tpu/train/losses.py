@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from tod_tpu.ops.masks import assemble_masks, crop_masks
 
@@ -26,12 +25,28 @@ def _smooth_l1(x):
     return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
 
 
+def _integer_ce(logits, labels):
+    """Softmax CE with integer labels as a one-hot contraction.
+
+    ``optax.softmax_cross_entropy_with_integer_labels`` picks the label
+    log-prob with a take-along-axis, which XLA:TPU lowers as a per-element
+    gather fusion — these CE gathers plus the matcher's (see
+    train/matcher.py) cost 1.55 ms of the 7.81 ms QVGA batch-8 train step
+    (docs/performance.md, training section).  The one-hot multiply-sum is
+    pure VPU work and exact: log_softmax of finite logits is finite, so
+    the masked terms contribute true zeros."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(
+        logp * jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype), axis=-1
+    )
+
+
 def classification_loss(conf, cls_target):
     """OHEM softmax CE.  conf (A, C); cls_target (A,) with −1 = ignore."""
     a, c = conf.shape
     valid = cls_target >= 0
     labels = jnp.clip(cls_target, 0, c - 1)
-    ce = optax.softmax_cross_entropy_with_integer_labels(conf, labels)
+    ce = _integer_ce(conf, labels)
     pos = cls_target > 0
     n_pos = jnp.maximum(jnp.sum(pos), 1)
 
@@ -53,9 +68,8 @@ def focal_classification_loss(conf, cls_target, alpha: float = 0.25, gamma: floa
     a, c = conf.shape
     valid = cls_target >= 0
     labels = jnp.clip(cls_target, 0, c - 1)
-    logp = jax.nn.log_softmax(conf, axis=-1)
-    pt = jnp.exp(logp[jnp.arange(a), labels])
-    ce = -logp[jnp.arange(a), labels]
+    ce = _integer_ce(conf, labels)  # one-hot contraction, not a gather
+    pt = jnp.exp(-ce)
     pos = cls_target > 0
     alpha_t = jnp.where(pos, alpha, 1.0 - alpha)
     fl = alpha_t * (1.0 - pt) ** gamma * ce
@@ -105,7 +119,7 @@ def mask_loss(prototypes, coeff, matched_gt, pos_mask, iou_quality, gt_masks, gt
 
 def semantic_loss(sem_logits, sem_target):
     """Per-pixel softmax CE.  sem_logits (Hs, Ws, C); sem_target (Hs, Ws) i32."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(sem_logits, sem_target)
+    ce = _integer_ce(sem_logits, sem_target)  # one-hot contraction (C = 81)
     return jnp.mean(ce)
 
 

@@ -12,6 +12,7 @@ Everything is static-shape: gt boxes arrive padded to M slots with class 0
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tod_tpu.ops.anchors import box_iou, encode_boxes
@@ -64,13 +65,18 @@ def match_anchors(anchors, gt_boxes, gt_classes, gt_valid):
     matched_gt = jnp.where(forced, forced_gt, best_gt.astype(jnp.int32))
     matched_gt = jnp.where(pos, matched_gt, -1)
 
-    cls_target = jnp.where(
-        pos,
-        gt_classes[jnp.clip(matched_gt, 0, m - 1)],
-        jnp.where(neg, 0, -1),
-    ).astype(jnp.int32)
+    # Per-anchor gt selection as a one-hot contraction, not an integer
+    # gather: XLA:TPU lowers (A,)-indexed gathers as serialized scalar-ish
+    # fusions (this + the loss gathers cost 1.55 ms of the 7.81 ms QVGA
+    # batch-8 train step — docs/performance.md, training section); a
+    # (A, M) 0/1 matmul with M = 6 slots is vector work and EXACT
+    # (selector rows sum one finite value and zeros; class ids are small
+    # ints, exact in f32).
+    sel = jax.nn.one_hot(jnp.clip(matched_gt, 0, m - 1), m, dtype=jnp.float32)
+    cls_from_gt = (sel @ gt_classes.astype(jnp.float32)).astype(jnp.int32)
+    cls_target = jnp.where(pos, cls_from_gt, jnp.where(neg, 0, -1)).astype(jnp.int32)
 
-    gt_for_anchor = gt_boxes[jnp.clip(matched_gt, 0, m - 1)]
+    gt_for_anchor = sel @ gt_boxes  # (A, 4)
     box_target = encode_boxes(gt_for_anchor, anchors)
     return {
         "cls_target": cls_target,

@@ -50,6 +50,58 @@ class TestMatcher:
         assert not bool(m["pos_mask"].any())
         assert (np.asarray(m["cls_target"]) == 0).all()
 
+    def test_one_hot_selection_matches_gather(self):
+        """The matcher selects each anchor's gt box/class via a one-hot
+        contraction (a TPU-profiled rewrite of an integer gather,
+        train/matcher.py).  The rewrite must be EXACT: gate it against the
+        plain gather formulation on random gt sets."""
+        anchors = jnp.asarray(generate_anchors(TINY))
+        rng = np.random.default_rng(0)
+        m_slots = 6
+        # sorted corner pairs → y1≤y2, x1≤x2; row-major reshape = y1x1y2x2
+        gt = jnp.asarray(
+            np.sort(rng.uniform(0, 1, (m_slots, 2, 2)), axis=1).reshape(m_slots, 4)
+        )
+        gt_cls = jnp.asarray(rng.integers(1, 4, (m_slots,)), jnp.int32)
+        gt_valid = jnp.asarray([True, True, True, True, False, False])
+        m = match_anchors(anchors, gt, gt_cls, gt_valid)
+
+        idx = np.clip(np.asarray(m["matched_gt"]), 0, m_slots - 1)
+        cls_gather = np.asarray(gt_cls)[idx]
+        box_gather = np.asarray(gt)[idx]
+        pos = np.asarray(m["pos_mask"])
+        assert pos.any()  # the forced matches guarantee ≥4 positives
+        np.testing.assert_array_equal(
+            np.asarray(m["cls_target"])[pos], cls_gather[pos]
+        )
+        # the selector matmul reproduces the gathered gt boxes bit-exactly
+        # (rows are 0/1, so each output element is one f32 value + zeros)
+        from tod_tpu.ops.anchors import encode_boxes
+
+        np.testing.assert_array_equal(
+            np.asarray(m["box_target"])[pos],
+            np.asarray(encode_boxes(jnp.asarray(box_gather), anchors))[pos],
+        )
+
+    def test_integer_ce_matches_optax(self):
+        """losses._integer_ce (one-hot contraction) == optax's gather-based
+        integer-label CE, to float tolerance, including extreme logits."""
+        import optax
+
+        from tod_tpu.train.losses import _integer_ce
+
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(0, 10, (64, 81)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 81, (64,)), jnp.int32)
+        np.testing.assert_allclose(
+            np.asarray(_integer_ce(logits, labels)),
+            np.asarray(
+                optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            ),
+            rtol=1e-6,
+            atol=1e-6,
+        )
+
 
 class TestTrainer:
     @pytest.fixture(scope="class")

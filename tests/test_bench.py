@@ -16,8 +16,9 @@ class TestBenchRegistry:
         # 10 = int8 vs bf16 serve step; 11 = train-step throughput;
         # 12 = wall-clock chunked-training throughput; 13 = static-int8
         # batch throughput (config 7's quantized counterpart); 14 = batch-
-        # scaling capacity curve; 15 = backbone-family throughput
-        assert sorted(CONFIGS) == list(range(1, 16))
+        # scaling capacity curve; 15 = backbone-family throughput;
+        # 16 = multi-stream serving (N camera feeds, one batched graph)
+        assert sorted(CONFIGS) == list(range(1, 17))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -25,7 +26,7 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "16"])
+            main(["--config", "17"])
 
     def test_config14_batch_scaling_cpu(self):
         from tod_tpu.bench.configs import config14_batch_scaling
@@ -50,6 +51,7 @@ class TestBenchRegistry:
         out = config11_train_throughput()
         assert out["value"] > 0 and out["step_ms"] > 0
         assert out["unit"] == "steps/s"
+        assert out["scaling"] == []  # larger-batch points are TPU-only
 
     def test_peak_flops_table(self):
         from tod_tpu.bench.mfu import peak_flops

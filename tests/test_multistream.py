@@ -132,6 +132,34 @@ class TestBatchedEquivalence:
             assert len(dirs) == i + 1
             assert dirs[0][0] == pytest.approx(10.0 * (i + 1))
 
+    def test_dead_at_birth_stream_degrades_to_black_frame(self):
+        """A source that dies before its first frame (unplugged camera at
+        boot) must not wedge the other streams: the rig keeps ticking with
+        an all-zeros substitute frame for the dead slot (black image → empty
+        plan) while the live streams serve normally."""
+
+        class _DeadSource:
+            def frames(self):
+                return iter(())
+
+            def close(self):
+                pass
+
+        import time
+
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        sources = [SyntheticSource(CAM, seed=3, n_frames=4), _DeadSource()]
+        stores = [PathStore(), PathStore()]
+        t0 = time.time()
+        m = ms.run(sources, n_ticks=4, path_stores=stores, max_inflight=2)
+        assert m["n_ticks"] >= 1  # the live stream kept the rig ticking
+        assert m["fresh_frames"] >= 1
+        # both stores received freshly-planned paths; the dead stream's is
+        # the black-frame empty plan
+        assert stores[0].get().created >= t0
+        assert stores[1].get().created >= t0
+        assert stores[1].get().directions == []
+
     def test_stream_count_validation(self):
         ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
         with pytest.raises(ValueError):

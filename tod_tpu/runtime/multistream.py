@@ -175,8 +175,13 @@ class MultiStreamEngine:
         t_batch = t_start
         batch_n = 0
         try:
+            packed_len = (
+                self.cfg.camera.height * self.cfg.camera.width * 5
+            )
             while n_ticks is None or n_done < n_ticks:
-                batch, fresh = _gather(feeds, timeout=2.0, hold_s=tick_hold_s)
+                batch, fresh = _gather(
+                    feeds, timeout=2.0, hold_s=tick_hold_s, packed_len=packed_len
+                )
                 if batch is None:
                     break  # every stream exhausted (or none produced in time)
                 t_dispatch = time.perf_counter()
@@ -228,7 +233,7 @@ class MultiStreamEngine:
         }
 
 
-def _gather(feeds, timeout: float, hold_s: float = 0.02):
+def _gather(feeds, timeout: float, hold_s: float = 0.02, packed_len: int = 0):
     """One batch from the latest-frame slots: (N, H·W·5) u8 + fresh count.
 
     Tick policy: once the FIRST stream turns fresh, wait up to ``hold_s``
@@ -237,31 +242,44 @@ def _gather(feeds, timeout: float, hold_s: float = 0.02):
     rather than stale-empty).  Without the hold, N independently-clocked
     cameras would trigger a tick per ARRIVAL (~N× the device work for the
     same per-stream freshness); with it, one tick per camera period carries
-    ~N fresh frames.  Returns ``(None, 0)`` once every feed is exhausted
-    with nothing unconsumed, or when nothing fresh arrives within
-    ``timeout`` (wedged sources must not hang the tick loop — supervision
-    handles them, runtime/watchdog.py).
+    ~N fresh frames.  A stream that dies before producing its FIRST frame
+    (unplugged camera at boot) degrades to an all-zeros frame — black image,
+    zero depth, so its plan is empty — instead of wedging the other N−1
+    feeds; ``packed_len`` sizes that substitute buffer.  Returns ``(None, 0)``
+    once every feed is exhausted with nothing unconsumed, or when nothing
+    fresh arrives within ``timeout`` (wedged sources must not hang the tick
+    loop — supervision handles them, runtime/watchdog.py).
     """
     deadline = time.monotonic() + timeout
     first_fresh_t: float | None = None
+
+    def _absent(f):  # died before its first frame — nothing will ever come
+        return f.done and not f.has_frame
+
+    def _snap(f):
+        if _absent(f):
+            return np.zeros((packed_len,), np.uint8), 0
+        return f.take()
+
     while True:
-        if all(f.has_frame for f in feeds):
-            n_fresh = sum(1 for f in feeds if f.has_fresh)
-            if n_fresh == len(feeds):
-                pass  # everyone refreshed — tick now
+        live = [f for f in feeds if not _absent(f)]
+        if not live:
+            return None, 0  # every stream died before its first frame
+        if all(f.has_frame for f in live):
+            n_fresh = sum(1 for f in live if f.has_fresh)
+            if n_fresh == len(live):
+                pass  # everyone (still alive) refreshed — tick now
             elif n_fresh and first_fresh_t is None:
                 first_fresh_t = time.monotonic()
             if n_fresh and (
-                n_fresh == len(feeds)
-                or all(f.done for f in feeds)  # no more frames coming
+                n_fresh == len(live)
+                or all(f.done for f in live)  # no more frames coming
                 or time.monotonic() - (first_fresh_t or 0.0) >= hold_s
             ):
-                snaps = [f.take() for f in feeds]
+                snaps = [_snap(f) for f in feeds]
                 return np.stack([b for b, _ in snaps]), sum(fr for _, fr in snaps)
-            if n_fresh == 0 and all(f.done for f in feeds):
+            if n_fresh == 0 and all(f.done for f in live):
                 return None, 0  # exhausted; final frames already planned
-        elif all(f.done for f in feeds):
-            return None, 0  # some stream died before its first frame
         if time.monotonic() > deadline:
             return None, 0
         time.sleep(0.001)

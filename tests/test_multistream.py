@@ -170,6 +170,118 @@ class TestBatchedEquivalence:
             MultiStreamEngine(CFG, n_streams=0)
 
 
+class TestSupervision:
+    class _WedgingSource:
+        """Yields one frame then blocks inside the read until close()."""
+
+        def __init__(self, frame):
+            import threading
+
+            self._frame = frame
+            self._ev = threading.Event()
+
+        def frames(self):
+            yield self._frame
+            self._ev.wait()  # wedged camera: blocked mid-read until close()
+
+        def close(self):
+            self._ev.set()
+
+    def test_wedged_stream_restarts_and_recovers(self):
+        """Stream B wedges after one frame; the per-stream watchdog must
+        close it, re-open from the factory, and keep the rig serving —
+        stream A never notices."""
+        from tod_tpu.runtime.frame_source import PacedSource
+
+        frame_b = next(SyntheticSource(CAM, seed=11, n_frames=1).frames())
+        calls = {"n": 0}
+
+        def factory_b():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return self._WedgingSource(frame_b)
+            return SyntheticSource(CAM, seed=11, n_frames=500)
+
+        def factory_a():
+            return PacedSource(
+                SyntheticSource(CAM, seed=3, n_frames=500), fps=40.0
+            )
+
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        stores = [PathStore(), PathStore()]
+        m = ms.run_supervised(
+            [factory_a, factory_b],
+            n_ticks=40,
+            path_stores=stores,
+            stall_timeout_s=0.3,
+            max_restarts=2,
+        )
+        assert m["restarts"] >= 1  # the wedged source was recovered
+        assert calls["n"] >= 2  # ...by re-opening from its factory
+        assert m["n_ticks"] >= 10  # stream A kept the rig ticking throughout
+        assert all(s.get().created > 0 for s in stores)
+
+    def test_clean_exhaustion_does_not_restart(self):
+        """Finite sources that simply END are not failures: no restarts
+        (same policy as Engine.run_supervised — restart on stall only)."""
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        m = ms.run_supervised(
+            [lambda: SyntheticSource(CAM, seed=3, n_frames=3),
+             lambda: SyntheticSource(CAM, seed=11, n_frames=3)],
+            n_ticks=10,
+            stall_timeout_s=0.5,
+            max_restarts=3,
+        )
+        assert m["restarts"] == 0
+        assert m["n_ticks"] >= 1
+
+    def test_dying_source_restarts(self):
+        """A source whose frames() RAISES mid-stream (USB error) is
+        re-opened from its factory."""
+        calls = {"n": 0}
+
+        from tod_tpu.runtime.frame_source import PacedSource
+
+        def factory():
+            calls["n"] += 1
+
+            class _Dying:
+                def frames(self, _n=calls["n"]):
+                    # paced: keeps frames arriving across several ticks so
+                    # the post-recovery loop demonstrably serves again
+                    src = PacedSource(
+                        SyntheticSource(CAM, seed=3, n_frames=500), fps=50.0
+                    )
+                    for i, f in enumerate(src.frames()):
+                        if _n == 1 and i == 1:
+                            raise OSError("camera gone")
+                        yield f
+
+                def close(self):
+                    pass
+
+            return _Dying()
+
+        ms = MultiStreamEngine(CFG, n_streams=1, seed=0)
+        m = ms.run_supervised(
+            [factory], n_ticks=8, stall_timeout_s=5.0, max_restarts=3
+        )
+        assert m["restarts"] >= 1
+        assert calls["n"] >= 2
+        assert m["n_ticks"] >= 2  # kept serving after the recovery
+
+    def test_run_supervised_validates_counts(self):
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        with pytest.raises(ValueError):
+            ms.run_supervised([lambda: SyntheticSource(CAM)], n_ticks=1)
+        with pytest.raises(ValueError):
+            ms.run_supervised(
+                [lambda: SyntheticSource(CAM)] * 2,
+                n_ticks=1,
+                path_stores=[PathStore()],
+            )
+
+
 class TestStreamFeed:
     class _ListSource:
         def __init__(self, frames):

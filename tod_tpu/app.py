@@ -219,9 +219,12 @@ def _main_multistream(args, cfg, cam, params, make_source) -> int:
     n = args.streams
     if args.source == "synthetic":
         # seed-varied feeds (a rig's cameras see different scenes)
-        sources = [SyntheticSource(cam, seed=i, n_frames=args.frames) for i in range(n)]
+        factories = [
+            (lambda i=i: SyntheticSource(cam, seed=i, n_frames=args.frames))
+            for i in range(n)
+        ]
     else:
-        sources = [make_source() for _ in range(n)]
+        factories = [make_source for _ in range(n)]
     engine = MultiStreamEngine(cfg, n_streams=n, params=params)
     stores = [PathStore() for _ in range(n)]
     server_thread = server = None
@@ -237,15 +240,18 @@ def _main_multistream(args, cfg, cam, params, make_source) -> int:
             "path server on %s:%s (%d streams)", cfg.server.host, server.port, n
         )
     try:
-        metrics = engine.run(
-            sources,
+        # per-stream supervision (same policy as the single-stream loop):
+        # a wedged/dead camera is closed and re-opened from its factory
+        # while the other streams keep serving
+        metrics = engine.run_supervised(
+            factories,
             n_ticks=args.frames,
             path_stores=stores,
             max_inflight=args.max_inflight or None,
+            stall_timeout_s=10.0,
+            max_restarts=3,
         )
     finally:
-        for s in sources:
-            s.close()
         if server is not None:
             stop_thread_server(server)
             if server_thread is not None:

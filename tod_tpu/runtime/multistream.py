@@ -162,8 +162,62 @@ class MultiStreamEngine:
             raise ValueError(
                 f"engine built for {self.n_streams} streams, got {len(sources)} sources"
             )
+        return self._drive(
+            [_StreamFeed(s) for s in sources],
+            n_ticks=n_ticks,
+            path_stores=path_stores,
+            warmup=warmup,
+            max_inflight=max_inflight,
+            sync_every=sync_every,
+            tick_hold_s=tick_hold_s,
+        )
+
+    def run_supervised(
+        self,
+        source_factories: Sequence,
+        n_ticks: int | None = None,
+        path_stores: Optional[Sequence[PathStore]] = None,
+        stall_timeout_s: float = 5.0,
+        max_restarts: int = 3,
+        **run_kw,
+    ) -> dict:
+        """``run()`` with per-stream source supervision — the multi-stream
+        analog of :meth:`Engine.run_supervised`.
+
+        Each stream gets a :class:`_SupervisedFeed` built from its factory:
+        when a source dies mid-stream (raises) or stops yielding for
+        ``stall_timeout_s`` (wedged camera), that stream's source is closed
+        and re-opened from its factory — up to ``max_restarts`` times PER
+        STREAM — while the other streams keep serving uninterrupted.  Clean
+        exhaustion of a finite source ends that stream normally (no
+        restart).  Metrics gain ``restarts`` (summed over streams).
+        """
+        if path_stores is not None and len(path_stores) != len(source_factories):
+            raise ValueError("need one PathStore per source factory")
+        if len(source_factories) != self.n_streams:
+            raise ValueError(
+                f"engine built for {self.n_streams} streams, "
+                f"got {len(source_factories)} factories"
+            )
+        feeds = [
+            _SupervisedFeed(f, stall_timeout_s, max_restarts)
+            for f in source_factories
+        ]
+        m = self._drive(feeds, n_ticks=n_ticks, path_stores=path_stores, **run_kw)
+        m["restarts"] = sum(f.restarts for f in feeds)
+        return m
+
+    def _drive(
+        self,
+        feeds: "list[_StreamFeed]",
+        n_ticks: int | None = None,
+        path_stores: Optional[Sequence[PathStore]] = None,
+        warmup: bool = True,
+        max_inflight: int | None = 4,
+        sync_every: int = 16,
+        tick_hold_s: float = 0.02,
+    ) -> dict:
         compile_s = self.warmup() if warmup else 0.0
-        feeds = [_StreamFeed(s) for s in sources]
         fanout = _PlanFanout(self, path_stores)
         from collections import deque
 
@@ -296,6 +350,7 @@ class _StreamFeed:
         self._buf: np.ndarray | None = None
         self._seq = 0  # bumps on every new frame
         self._taken = 0  # last seq handed out
+        self._last_t = time.monotonic()  # last frame arrival (stall detection)
         self.done = False
         self._stop = False
         self._thread = threading.Thread(
@@ -305,22 +360,27 @@ class _StreamFeed:
 
     def _loop(self) -> None:
         try:
-            for frame in self._source.frames():
-                if self._stop:
-                    break
-                h, w = frame.depth.shape
-                packed = np.empty((h * w * 5,), np.uint8)
-                packed[: h * w * 3] = np.ascontiguousarray(
-                    frame.rgb, np.uint8
-                ).reshape(-1)
-                packed[h * w * 3 :] = (
-                    np.ascontiguousarray(frame.depth, "<u2").view(np.uint8).reshape(-1)
-                )
-                with self._lock:
-                    self._buf = packed
-                    self._seq += 1
+            self._pump(self._source)
         finally:
             self.done = True
+
+    def _pump(self, source) -> None:
+        """Drain one source into the latest-frame slot until it ends."""
+        for frame in source.frames():
+            if self._stop:
+                break
+            h, w = frame.depth.shape
+            packed = np.empty((h * w * 5,), np.uint8)
+            packed[: h * w * 3] = np.ascontiguousarray(
+                frame.rgb, np.uint8
+            ).reshape(-1)
+            packed[h * w * 3 :] = (
+                np.ascontiguousarray(frame.depth, "<u2").view(np.uint8).reshape(-1)
+            )
+            with self._lock:
+                self._buf = packed
+                self._seq += 1
+            self._last_t = time.monotonic()
 
     @property
     def has_frame(self) -> bool:
@@ -349,6 +409,91 @@ class _StreamFeed:
         except Exception:
             pass
         self._thread.join(timeout=5)
+
+
+class _SupervisedFeed(_StreamFeed):
+    """A :class:`_StreamFeed` that OWNS its source lifecycle.
+
+    When the source DIES (its ``frames()`` raises) or WEDGES (stops yielding
+    for ``stall_timeout_s`` — a blocked iterator, kicked loose by ``close()``),
+    it is re-opened from ``factory``, up to ``max_restarts`` times; the
+    stream's slot keeps holding its last frame throughout, so the other
+    streams never notice.  Clean exhaustion (a trace/synthetic source simply
+    ending) is NOT a failure and does not restart — the same policy as the
+    single-stream ``Engine.run_supervised`` (runtime/engine.py), which
+    restarts on watchdog abort only.
+    """
+
+    def __init__(self, factory, stall_timeout_s: float = 5.0, max_restarts: int = 3):
+        self._factory = factory
+        self._swap = threading.Lock()  # guards _source across restart/close
+        self._stall_s = stall_timeout_s
+        self._max_restarts = max_restarts
+        self._kicked = False  # monitor fired on the current source
+        self.restarts = 0
+        super().__init__(factory())
+        self._mon = threading.Thread(
+            target=self._monitor, daemon=True, name="tod-feed-monitor"
+        )
+        self._mon.start()
+
+    def _loop(self) -> None:
+        try:
+            while True:
+                self._kicked = False
+                raised = False
+                try:
+                    self._pump(self._source)
+                except Exception:
+                    raised = True  # a dying source is what supervision absorbs
+                if self._stop or self.restarts >= self._max_restarts:
+                    return
+                if not (raised or self._kicked):
+                    # clean exhaustion (trace/synthetic ended) — not a failure;
+                    # same policy as Engine.run_supervised, which restarts on
+                    # watchdog abort only
+                    return
+                self.restarts += 1
+                with self._swap:
+                    try:
+                        self._source.close()
+                    except Exception:
+                        pass
+                    self._source = self._factory()
+                self._last_t = time.monotonic()  # fresh stall window
+        finally:
+            self.done = True
+
+    def _monitor(self) -> None:
+        """Kick a WEDGED source: ``close()`` unblocks most blocking frame
+        iterators, the pump exits, and ``_loop`` re-opens from the factory.
+        (A source that merely ended returns from the pump on its own — the
+        monitor only matters for iterators stuck inside a read.)"""
+        tick = min(self._stall_s / 4, 0.25)
+        while not self._stop and not self.done:
+            time.sleep(tick)
+            if (
+                not self._stop
+                and not self.done
+                and time.monotonic() - self._last_t > self._stall_s
+            ):
+                self._kicked = True
+                with self._swap:
+                    try:
+                        self._source.close()
+                    except Exception:
+                        pass
+                self._last_t = time.monotonic()  # one kick per stall window
+
+    def close(self) -> None:
+        self._stop = True
+        with self._swap:
+            try:
+                self._source.close()
+            except Exception:
+                pass
+        self._thread.join(timeout=5)
+        self._mon.join(timeout=5)
 
 
 class _PlanFanout:

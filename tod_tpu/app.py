@@ -232,6 +232,7 @@ def _main_multistream(args, cfg, cam, params, make_source) -> int:
         stats_fn = lambda: {  # noqa: E731
             "ticks_per_s": engine.fps.fps,
             "stages": engine.timer.summary(),
+            "restarts": engine.restarts,
         }
         server_thread, server = run_in_thread(
             stores[0], cfg.server, stats_fn=stats_fn, stream_stores=stores

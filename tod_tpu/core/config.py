@@ -226,6 +226,11 @@ class TrainConfig:
     # YOLACT loss weights (cls, box, mask, semantic) per the YOLACT paper
     loss_weights: tuple[float, float, float, float] = (1.0, 1.5, 6.125, 1.0)
     cls_loss: str = "ohem"  # "ohem" | "focal"
+    # On-device augmentation (train/augment.py:device_augment): hflip +
+    # photometric jitter applied inside the jitted train step, keyed on the
+    # step counter.  The host-side Augmented wrapper stays available for
+    # disk datasets; this one costs the (single-core) host nothing.
+    device_augment: bool = False
     seed: int = 0
 
 

@@ -123,6 +123,67 @@ def disk_eval_scenes(root, hw, n_scenes: int):
         yield data._load_example(data.images[i])
 
 
+def sim_eval_scenes(hw, n_scenes: int, seed: int = 0):
+    """Cross-domain eval scenes from the sim renderer (tod_tpu.sim.camera) —
+    a generator the trainer never saw: perspective-projected geometry, flat
+    shading, floor-plane depth, rather than the 2-D procedural painter.
+    Reporting mAP here *beside* the same-domain number is what distinguishes
+    detection from memorization of one distribution (VERDICT r3 item 1).
+
+    Yields the evaluator's scene tuples; instance masks come from per-class
+    connected components of the renderer's oracle class map (worlds are
+    sampled with generous object spacing so same-class merging is rare and,
+    when it happens, merely makes the gate stricter for the detector).
+    """
+    import numpy as np
+    from scipy import ndimage
+
+    from tod_tpu.core.config import CameraConfig
+    from tod_tpu.sim.camera import render
+    from tod_tpu.sim.world import Ball, Obstacle, SimWorld
+    from tod_tpu.train.synthetic_data import MAX_OBJECTS
+
+    h, w = hw
+    cam = CameraConfig(width=w, height=h)
+    rng = np.random.default_rng(seed)
+    for i in range(n_scenes):
+        balls = [
+            Ball(x=float(rng.uniform(-1400, 1400)), z=float(rng.uniform(700, 3200)))
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+        obstacles = [
+            Obstacle(
+                x=float(rng.uniform(-1600, 1600)),
+                z=float(rng.uniform(900, 3600)),
+                team=("red" if rng.random() < 0.5 else "blue"),
+            )
+            for _ in range(int(rng.integers(0, 3)))
+        ]
+        world = SimWorld(balls=balls, obstacles=obstacles)
+        frame, cls_map, _ids = render(world, cam, seed=seed * 1000 + i, annotate=True)
+
+        boxes = np.zeros((MAX_OBJECTS, 4), np.float32)
+        classes = np.zeros((MAX_OBJECTS,), np.int32)
+        valid = np.zeros((MAX_OBJECTS,), bool)
+        inst = np.zeros((MAX_OBJECTS, h, w), np.float32)
+        k = 0
+        for c in (1, 2, 3):
+            lab, n = ndimage.label(cls_map == c)
+            for j in range(1, n + 1):
+                m = lab == j
+                if m.sum() < 30 or k >= MAX_OBJECTS:
+                    continue
+                ys, xs = np.nonzero(m)
+                boxes[k] = [
+                    ys.min() / h, xs.min() / w, (ys.max() + 1) / h, (xs.max() + 1) / w,
+                ]
+                classes[k] = c
+                valid[k] = True
+                inst[k] = m.astype(np.float32)
+                k += 1
+        yield frame.rgb, boxes, classes, valid, inst, cls_map.astype(np.int32)
+
+
 def evaluate_engines(
     eng, eng_sem, n_scenes: int = 16, seed: int = 9999, hw=(240, 320), scenes=None
 ) -> dict:
@@ -272,23 +333,31 @@ def main(argv=None) -> int:
         help="evaluate against an on-disk annotated dataset "
         "(train/dataset.py layout) instead of held-out procedural scenes",
     )
+    p.add_argument(
+        "--sim", action="store_true",
+        help="evaluate against sim-renderer scenes (tod_tpu.sim.camera) — a "
+        "CROSS-domain generator the trainer never saw; report beside the "
+        "same-domain number to distinguish detection from memorization",
+    )
     args = p.parse_args(argv)
     mcfg = None
     if args.int8:
         from tod_tpu.core.config import ModelConfig
 
         mcfg = ModelConfig(input_size=(240, 320), quantized=True)
-    if args.data:
+    if args.data or args.sim:
         from tod_tpu.train.checkpoint import load_checkpoint
 
         hw = mcfg.input_size if mcfg else (240, 320)
         eng, eng_sem = make_eval_engines(hw, mcfg, params=load_checkpoint(args.ckpt))
-        out = evaluate_engines(
-            eng, eng_sem, hw=hw,
-            scenes=disk_eval_scenes(args.data, hw, args.scenes),
+        scenes = (
+            disk_eval_scenes(args.data, hw, args.scenes)
+            if args.data
+            else sim_eval_scenes(hw, args.scenes, seed=args.seed)
         )
+        out = evaluate_engines(eng, eng_sem, hw=hw, scenes=scenes)
         out["checkpoint"] = args.ckpt
-        out["data"] = args.data
+        out["data"] = args.data if args.data else "sim"
     else:
         out = evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed, mcfg=mcfg)
     out["mode"] = "static-int8" if args.int8 else "float"

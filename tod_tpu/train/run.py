@@ -56,6 +56,33 @@ def main(argv=None) -> int:
         "jitter, train/augment.py) over the selected data source",
     )
     p.add_argument(
+        "--domainrand", action="store_true",
+        help="domain-randomized scene generator (train/domainrand.py): "
+        "shaded multi-color balls, bumper-band robots, randomized "
+        "backgrounds/clutter/photometrics — the sim-to-real training data",
+    )
+    p.add_argument(
+        "--legacy-prob", type=float, default=0.2,
+        help="with --domainrand: fraction of scenes drawn in the plain "
+        "procedural style (keeps the legacy held-out gates in-distribution)",
+    )
+    p.add_argument(
+        "--pool", type=int, default=0,
+        help="pre-generate N unique scenes once and sample batches from the "
+        "RAM pool (train/pool.py) — required to keep a ~20 ms/scene "
+        "generator from starving the chip on a single-core host (0 = off)",
+    )
+    p.add_argument(
+        "--pool-cache", default=None,
+        help="with --pool: persist/load the generated pool at this .npz path",
+    )
+    p.add_argument(
+        "--device-augment", action="store_true",
+        help="per-step hflip + photometric jitter INSIDE the jitted train "
+        "step (train/augment.py:device_augment) — free on the TPU, the "
+        "per-step variety source when training from a --pool",
+    )
+    p.add_argument(
         "--resume", default=None,
         help="resume from a FULL training checkpoint (params + optimizer "
         "state + step, written by --save-full-state) — continues the exact "
@@ -94,6 +121,7 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(
         batch_size=args.batch, learning_rate=args.lr, total_steps=args.steps,
         warmup_steps=min(500, max(args.steps // 10, 1)), cls_loss=args.cls_loss,
+        device_augment=args.device_augment,
     )
     mesh = None
     if args.tp > 1:
@@ -110,9 +138,22 @@ def main(argv=None) -> int:
         data = DiskDetectionData(
             args.data, mcfg.input_size, batch_size=args.batch, seed=tcfg.seed
         )
+    elif args.domainrand:
+        from tod_tpu.train.domainrand import DomainRandomizedData
+
+        data = DomainRandomizedData(
+            mcfg.input_size, batch_size=args.batch, seed=tcfg.seed,
+            legacy_prob=args.legacy_prob,
+        )
     else:
         data = SyntheticDetectionData(
             mcfg.input_size, batch_size=args.batch, seed=tcfg.seed
+        )
+    if args.pool:
+        from tod_tpu.train.pool import ScenePool
+
+        data = ScenePool(
+            data, args.pool, seed=tcfg.seed + 2, cache=args.pool_cache
         )
     if args.augment:
         from tod_tpu.train import Augmented

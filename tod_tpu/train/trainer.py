@@ -49,6 +49,11 @@ def make_train_step(model, anchors, tx, tcfg: TrainConfig) -> Callable:
     """Returns ``step(state, batch) -> (state, metrics)`` (pure, jittable)."""
 
     def step(state: TrainState, batch: dict):
+        if tcfg.device_augment:
+            from tod_tpu.train.augment import device_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed + 0x5EED), state.step)
+            batch = device_augment(key, batch)
         imgs = (batch["image"].astype(jnp.float32) / 127.5 - 1.0).astype(jnp.bfloat16)
 
         def loss_fn(params):

@@ -110,12 +110,18 @@ def main() -> None:
         source = SyntheticSource(cam, seed=0, n_frames=n_frames)
         b = engine.run(
             source, path_store=None, plan_paths=True, warmup=False,
-            max_inflight=2, plan_every=4,
+            max_inflight=2, plan_every=4, probe_rtt=True,
         )
         bounded_runs.append(
-            (b, engine.timer.stats("latency"), engine.timer.stats("plan"))
+            (
+                b,
+                engine.timer.stats("latency"),
+                engine.timer.stats("plan"),
+                engine.timer.stats("latency_rtt_free"),
+                engine.timer.stats("rtt"),
+            )
         )
-    bounded, lat_bounded, plan_bounded = min(
+    bounded, lat_bounded, plan_bounded, lat_rtt_free, rtt_stats = min(
         bounded_runs, key=lambda r: r[1].get("p50_ms") or float("inf")
     )
 
@@ -156,17 +162,17 @@ def main() -> None:
     # Transport honesty (docs/performance.md methodology): on this remote
     # tunnel every readiness check costs one RTT — tens of ms — which floors
     # every measured dispatch→ready latency; bounded serving pays it twice
-    # per frame (loop + latency sampler).  Measure it and report the
-    # RTT-corrected bounded p50 so the recorded artifact explains itself on
-    # any transport (locally attached chips have RTT ≈ 0 and the correction
-    # vanishes).  Same measurement as bench config 8.
-    from tod_tpu.bench.configs import _transport_rtt_ms
-
-    rtt_ms = _transport_rtt_ms() if on_tpu else 0.0
-    b_p50 = lat_bounded.get("p50_ms")
+    # per frame (loop + latency sampler).  The bounded runs above pair EVERY
+    # latency sample with a same-moment probe (Engine.run(probe_rtt=True)),
+    # so the corrected p50 is an order statistic of per-sample measurements —
+    # not a constant probed under different transport weather — and the
+    # paired-RTT spread plus the clamp-saturation count are reported with it
+    # (ADVICE r3 items 1-2; on a locally attached chip RTT ≈ 0 and the
+    # correction vanishes).
     b_p50_rtt_free = (
-        round(max(b_p50 - 2.0 * rtt_ms, 0.0), 2) if b_p50 is not None else None
+        round(lat_rtt_free["p50_ms"], 2) if lat_rtt_free.get("n") else None
     )
+    rtt_ms = rtt_stats.get("p50_ms") or 0.0
 
     flops = _step_flops(engine, packed_d)
     peak = _peak_flops(jax.devices()[0].device_kind) if on_tpu else None
@@ -192,6 +198,12 @@ def main() -> None:
         "bounded_p99_ms": lat_bounded.get("p99_ms"),
         "bounded_p50_rtt_free_ms": b_p50_rtt_free,
         "transport_rtt_ms": round(rtt_ms, 2),
+        "transport_rtt_spread_ms": (
+            [round(rtt_stats[k], 2) for k in ("min_ms", "p50_ms", "max_ms")]
+            if rtt_stats.get("n")
+            else None
+        ),
+        "rtt_correction_saturated": bounded.get("rtt_saturated", 0),
         "bounded_plan_p50_ms": plan_bounded.get("p50_ms"),
         "device_step_ms": round(device_step_ms, 3),
         "mfu": mfu,

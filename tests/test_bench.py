@@ -17,8 +17,10 @@ class TestBenchRegistry:
         # 12 = wall-clock chunked-training throughput; 13 = static-int8
         # batch throughput (config 7's quantized counterpart); 14 = batch-
         # scaling capacity curve; 15 = backbone-family throughput;
-        # 16 = multi-stream serving (N camera feeds, one batched graph)
-        assert sorted(CONFIGS) == list(range(1, 17))
+        # 16 = multi-stream serving (N camera feeds, one batched graph);
+        # 17 = latency-bounded serving at VGA (the reference's native
+        # resolution); 18 = pipeline-parallel (stage-split) serving vs fused
+        assert sorted(CONFIGS) == list(range(1, 19))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 
@@ -26,7 +28,7 @@ class TestBenchRegistry:
         from tod_tpu.bench.__main__ import main
 
         with pytest.raises(SystemExit):
-            main(["--config", "17"])
+            main(["--config", "99"])
 
     def test_config14_batch_scaling_cpu(self):
         from tod_tpu.bench.configs import config14_batch_scaling

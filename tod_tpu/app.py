@@ -77,6 +77,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="serve N camera streams through one batched device graph "
         "(runtime/multistream.py); per-stream paths over GetPthN/NewPthN",
     )
+    p.add_argument(
+        "--pipeline", action="store_true",
+        help="pipeline-parallel serving: stage-split the frame graph across "
+        "two devices (parallel/pipeline.py — YOLACT forward on device 0, "
+        "detect+fusion+plan on device 1; falls back to one device, where it "
+        "only measures the split's dispatch overhead).  Every frame plans; "
+        "bench config 18 records the cost vs the fused graph",
+    )
     p.add_argument("--debug-dump", action="store_true", help="write map.bmp etc. per run")
     p.add_argument("--metrics-json", action="store_true", help="print metrics as JSON at exit")
     return p
@@ -151,6 +159,8 @@ def main(argv=None) -> int:
 
     if args.streams > 1:
         return _main_multistream(args, cfg, cam, params, make_source)
+    if args.pipeline:
+        return _main_pipeline(args, cfg, params, make_source)
 
     source = make_source()
 
@@ -205,6 +215,49 @@ def main(argv=None) -> int:
             metrics["n_frames"],
             metrics["fps"],
             metrics["stages"].get("plan", {}).get("p50_ms"),
+        )
+    return 0
+
+
+def _main_pipeline(args, cfg, params, make_source) -> int:
+    """--pipeline: stage-split serving (parallel/pipeline.TwoStagePipeline),
+    every frame planned, freshest plan in the path store."""
+    import jax
+
+    from tod_tpu.parallel.pipeline import TwoStagePipeline
+    from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        logging.warning(
+            "--pipeline with %d device(s): both stages share one chip — "
+            "correct, but the overlap win needs two", n_dev,
+        )
+    pipe = TwoStagePipeline(cfg, params=params)
+    store = PathStore()
+    server_thread = server = None
+    if not args.no_server:
+        server_thread, server = run_in_thread(store, cfg.server)
+        logging.info(
+            "path server on %s:%s (pipeline-parallel, stages on %s / %s)",
+            cfg.server.host, server.port, pipe.d_fwd, pipe.d_post,
+        )
+    source = make_source()
+    try:
+        metrics = pipe.run(source, n_frames=args.frames, path_store=store)
+    finally:
+        source.close()
+        if server is not None:
+            stop_thread_server(server)
+            if server_thread is not None:
+                server_thread.join(timeout=5)
+    if args.metrics_json:
+        print(json.dumps(metrics, default=float))
+    else:
+        logging.info(
+            "done: %d frames, %.1f fps (stage1 %s, stage2 %s)",
+            metrics["n_frames"], metrics["fps"],
+            metrics["stage1_device"], metrics["stage2_device"],
         )
     return 0
 

@@ -5,6 +5,6 @@ mirroring the repo-root ``bench.py`` contract; ``python -m tod_tpu.bench
 --config N`` runs one, ``--all`` runs every config.
 """
 
-from tod_tpu.bench.configs import CONFIGS, run_config
+from tod_tpu.bench.configs import CONFIGS, run_config, transport_rtt_ms
 
-__all__ = ["CONFIGS", "run_config"]
+__all__ = ["CONFIGS", "run_config", "transport_rtt_ms"]

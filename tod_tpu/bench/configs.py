@@ -26,13 +26,13 @@ REF_TILE_MS = 50.0  # Coral Edge TPU per-224×224-tile latency, data/README.md:1
 REF_FRAME_FPS = 7.0  # implied full-frame rate (2 tiles + CPU passes), BASELINE.md
 
 
-def _pipeline_cfg():
+def _pipeline_cfg(hw: tuple[int, int] = (240, 320)):
     from tod_tpu.core.config import CameraConfig, ModelConfig, PipelineConfig, PlannerConfig
 
-    cam = CameraConfig(width=320, height=240)
+    cam = CameraConfig(width=hw[1], height=hw[0])
     return PipelineConfig(
         camera=cam,
-        model=ModelConfig(input_size=(240, 320)),
+        model=ModelConfig(input_size=hw),
         planner=PlannerConfig(backend="auto"),
     )
 
@@ -512,11 +512,17 @@ def config15_backbone_family() -> dict:
     }
 
 
-def _transport_rtt_ms(n: int = 15) -> float:
+def transport_rtt_ms(n: int = 15) -> float:
     """Median host↔device round-trip cost of one readiness check / 4-byte
     value readback (an ALREADY-complete tiny array, so no compute).  On the
     remote-tunnel measurement environment this is tens of ms and floors every
-    measured dispatch→ready latency; on a locally-attached chip it is ~0."""
+    measured dispatch→ready latency; on a locally-attached chip it is ~0.
+
+    For correcting *latency percentiles*, prefer the paired per-sample probes
+    of ``Engine.run(probe_rtt=True)`` (stages ``rtt``/``latency_rtt_free``) —
+    a single pre-run median can be skewed by probe/run transport-weather
+    mismatch.  This standalone probe remains the right tool for one-off
+    transport characterization (e.g. annotating a throughput number)."""
     import jax
     import jax.numpy as jnp
 
@@ -543,78 +549,108 @@ def config8_latency_bounded_serving() -> dict:
     30 FPS.
 
     Transport honesty: every readiness check on this environment's remote
-    tunnel costs ``transport_rtt_ms`` (measured and reported) — the bounded
-    settings pay it once per frame in the loop AND once in the latency
-    sampler, so measured p50 floors at ~2×RTT regardless of queue depth.
-    ``pipeline_p50_est_ms`` ≈ max_inflight × device step is what the same
-    bound yields on a locally-attached chip, where RTT ≈ 0."""
+    tunnel costs one transport round trip — the bounded settings pay it once
+    per frame in the loop AND once in the latency sampler, so raw measured
+    p50 floors at ~2×RTT regardless of queue depth.  Each run therefore pairs
+    EVERY latency sample with a same-moment probe (``probe_rtt=True``):
+    ``p50_rtt_free_ms`` is the order statistic of per-sample corrected
+    latencies — a measured quantity, with the paired-RTT spread and clamp
+    saturations recorded beside it.  ``met_target`` is gated on that measured
+    corrected p50 (plus ≥30 FPS); the raw p50 and the queue-model estimate
+    ``pipeline_p50_est_ms`` ≈ (depth+1) × device step are both kept for
+    cross-checking (VERDICT r3 items 4 / weak 2-3)."""
+    return _latency_bounded_serving((240, 320))
+
+
+def config17_latency_bounded_vga() -> dict:
+    """Config 17: the latency/throughput trade curve at VGA 640×480 — the
+    reference's native operating point (reference src/scene.rs:36-37).  Same
+    sweep, measurement, and paired-RTT methodology as config 8 (VERDICT r3
+    item 5: the native resolution needs a bounded-latency story, not just
+    unbounded streaming FPS)."""
+    return _latency_bounded_serving((480, 640))
+
+
+def _latency_bounded_serving(hw: tuple[int, int]) -> dict:
     import jax
 
     from tod_tpu.runtime import Engine, SyntheticSource
 
-    cfg = _pipeline_cfg()
+    cfg = _pipeline_cfg(hw)
     on_tpu = _on_tpu()
-    rtt_ms = _transport_rtt_ms() if on_tpu else 0.0
     eng = Engine(cfg, params=_pinned_params(), mode="detect", use_pallas=on_tpu)
     eng.warmup()
     n_frames = 150 if on_tpu else 4
     curve = []
+    rtt_spreads = []
     for mi in (1, 2, 4, None):
         eng.timer.reset()
         source = SyntheticSource(cfg.camera, seed=0, n_frames=n_frames)
         m = eng.run(
-            source, plan_paths=True, warmup=False, max_inflight=mi, plan_every=4
+            source, plan_paths=True, warmup=False, max_inflight=mi,
+            plan_every=4, probe_rtt=True,
         )
         lat = eng.timer.stats("latency")
+        free = eng.timer.stats("latency_rtt_free")
+        rtt = eng.timer.stats("rtt")
+        if rtt.get("n"):
+            rtt_spreads.append(
+                [round(rtt[k], 2) for k in ("min_ms", "p50_ms", "max_ms")]
+            )
         curve.append(
             {
                 "max_inflight": mi,
                 "fps": round(m["fps"], 2),
                 "p50_ms": round(lat["p50_ms"], 2) if lat.get("p50_ms") else None,
                 "p99_ms": round(lat["p99_ms"], 2) if lat.get("p99_ms") else None,
+                "p50_rtt_free_ms": (
+                    round(free["p50_ms"], 2) if free.get("n") else None
+                ),
+                "rtt_p50_ms": round(rtt["p50_ms"], 2) if rtt.get("n") else None,
+                "rtt_saturated": m.get("rtt_saturated", 0),
                 "plan_p50_ms": eng.timer.stats("plan").get("p50_ms"),
             }
         )
-    # device step for the pipeline-implied latency estimate (RTT-free)
+    # queue-model cross-check (informational): latency ≈ (depth+1) × step on
+    # an RTT-free transport, with step derived from the depth-1 setting's
+    # PAIRED corrected p50
     step_ms = None
     try:
         lat1 = [c for c in curve if c["max_inflight"] == 1][0]
-        if lat1["p50_ms"] is not None:
-            step_ms = max(lat1["p50_ms"] - 2.0 * rtt_ms, 1.0) / 2.0
+        if lat1["p50_rtt_free_ms"]:
+            step_ms = max(lat1["p50_rtt_free_ms"], 1.0) / 2.0
     except (IndexError, TypeError):
         pass
     for c in curve:
         mi = c["max_inflight"]
         if mi is not None and step_ms is not None:
             c["pipeline_p50_est_ms"] = round((mi + 1) * step_ms, 2)
-    # target check against the RTT-corrected pipeline estimate where the
-    # measured value is transport-floored; the raw measured p50 is kept
+    # target check on the MEASURED per-sample-corrected p50 only — the model
+    # estimate is no longer part of the verdict
     bounded = [
         c
         for c in curve
         if c["max_inflight"] is not None
-        and c["p50_ms"] is not None
-        and min(c["p50_ms"], c.get("pipeline_p50_est_ms", c["p50_ms"])) <= 33.0
+        and c["p50_rtt_free_ms"] is not None
+        and c["p50_rtt_free_ms"] <= 33.0
     ]
     best = max(bounded, key=lambda c: c["fps"]) if bounded else max(
         curve, key=lambda c: c["fps"]
     )
     return {
-        "metric": "fps_latency_bounded_320x240",
+        "metric": f"fps_latency_bounded_{hw[1]}x{hw[0]}",
         "value": best["fps"],
         "unit": "frames/s",
         "vs_baseline": round(best["fps"] / REF_FRAME_FPS, 3),
         "best_max_inflight": best["max_inflight"],
         "best_p50_ms": best["p50_ms"],
+        "best_p50_rtt_free_ms": best.get("p50_rtt_free_ms"),
         "best_pipeline_p50_est_ms": best.get("pipeline_p50_est_ms"),
-        "transport_rtt_ms": round(rtt_ms, 2),
+        "transport_rtt_spread_ms": rtt_spreads or None,
         "met_target": bool(
             bounded
             and best["fps"] >= 30.0
-            and min(
-                best["p50_ms"], best.get("pipeline_p50_est_ms", best["p50_ms"])
-            )
-            <= 33.0
+            and best["p50_rtt_free_ms"] <= 33.0
         ),
         "curve": curve,
         "backend": "tpu" if _on_tpu() else "cpu",
@@ -981,6 +1017,57 @@ def config16_multistream_serving() -> dict:
     }
 
 
+def config18_pipeline_parallel_serving() -> dict:
+    """Config 18: stage-split (pipeline-parallel) serving vs the fused
+    single-device graph (VERDICT r3 item 8 — make TwoStagePipeline reachable
+    and pin its cost).
+
+    Runs the same every-frame-planned workload through (a) the fused
+    Engine graph with in-stream planning and (b) TwoStagePipeline
+    (parallel/pipeline.py: YOLACT forward on device A, detect+fusion+plan on
+    device B).  With one physical chip the config re-runs itself on a
+    2-device virtual CPU mesh, where the ratio measures the split's dispatch
+    overhead (two executables + one inter-stage hop per frame); real overlap
+    wins need two physical chips (docs/performance.md)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        return _rerun_on_virtual_mesh(18, n_devices=2)
+
+    from tod_tpu.parallel.pipeline import TwoStagePipeline
+    from tod_tpu.runtime import Engine, SyntheticSource
+
+    cfg = _pipeline_cfg()
+    on_tpu = _on_tpu()
+    n_frames = 150 if on_tpu else 4
+    params = _pinned_params()
+
+    pipe = TwoStagePipeline(cfg, params=params, use_pallas=on_tpu)
+    m_pipe = pipe.run(
+        SyntheticSource(cfg.camera, seed=0, n_frames=n_frames), warmup=True
+    )
+
+    eng = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
+    eng.warmup(plan_standalone=False)
+    m_fused = eng.run(
+        SyntheticSource(cfg.camera, seed=0, n_frames=n_frames),
+        plan_paths=True, warmup=False, plan_every=1, max_inflight=4,
+    )
+    ratio = m_pipe["fps"] / m_fused["fps"] if m_fused["fps"] > 0 else None
+    return {
+        "metric": "pipeline_parallel_vs_fused_320x240",
+        "value": round(m_pipe["fps"], 2),
+        "unit": "frames/s (2-stage)",
+        "vs_baseline": round(m_pipe["fps"] / REF_FRAME_FPS, 3),
+        "fused_fps": round(m_fused["fps"], 2),
+        "pipeline_over_fused": round(ratio, 3) if ratio else None,
+        "stage1_device": m_pipe["stage1_device"],
+        "stage2_device": m_pipe["stage2_device"],
+        "n_devices": len(jax.devices()),
+        "backend": "tpu" if on_tpu else "cpu",
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
@@ -998,6 +1085,8 @@ CONFIGS = {
     14: config14_batch_scaling,
     15: config15_backbone_family,
     16: config16_multistream_serving,
+    17: config17_latency_bounded_vga,
+    18: config18_pipeline_parallel_serving,
 }
 
 

@@ -104,18 +104,35 @@ def _dilate_peaks(peaks_ext, bump_size: int, bump_err: float, out_shape):
     # of it pure while-loop overhead — vs ~0.3 ms unrolled (device trace,
     # docs/performance.md).  Same trick as _dilate_const_separable's 80
     # shifted minimums.
-    acc = jnp.zeros((h, w), jnp.float32)
+    #
+    # Ring grouping: displacements with equal r² see the same bump curve, and
+    # g(v, r) is monotone in v over the visible region (the same property the
+    # peak scatter-max upstream already relies on), so each ring max-reduces
+    # its shifted sources FIRST and applies the transcendental bump ONCE:
+    # the (2L)² = 400 pow/floor chains collapse to one per distinct radius
+    # (~110 at L=10).  Exact vs the per-displacement oracle (gated in
+    # tests/test_geometry.py); XLA compile time of the serving graph drops
+    # with the HLO op count (VERDICT r3 item 2 — boot cost), runtime is the
+    # same few fused VPU passes.
+    rings: dict[int, list[tuple[int, int]]] = {}
     for i in range(side * side):
         dy = i // side - L
         dx = i % side - L
-        prox = float((dy * dy + dx * dx) ** 0.5)
-        # window of sources at displacement (dy, dx) contributing to each output:
-        # out[o] ← peak[o - d]  (gather formulation of the scatter)
-        src = jax.lax.slice(
-            peaks_ext, (pad - dy, pad - dx), (pad - dy + h, pad - dx + w)
-        )
-        contrib = jnp.floor(_bump_value(src, c2 * prox - 1.0, bump_err))
-        acc = jnp.maximum(acc, jnp.where(src > 0, contrib, 0.0))
+        rings.setdefault(dy * dy + dx * dx, []).append((dy, dx))
+
+    acc = jnp.zeros((h, w), jnp.float32)
+    for r2, disps in sorted(rings.items()):
+        gmax = None
+        for dy, dx in disps:
+            # window of sources at displacement (dy, dx) contributing to each
+            # output: out[o] ← peak[o - d]  (gather formulation of the scatter)
+            src = jax.lax.slice(
+                peaks_ext, (pad - dy, pad - dx), (pad - dy + h, pad - dx + w)
+            )
+            gmax = src if gmax is None else jnp.maximum(gmax, src)
+        prox = float(r2**0.5)
+        contrib = jnp.floor(_bump_value(gmax, c2 * prox - 1.0, bump_err))
+        acc = jnp.maximum(acc, jnp.where(gmax > 0, contrib, 0.0))
     return acc
 
 

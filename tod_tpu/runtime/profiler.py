@@ -44,6 +44,7 @@ class StageTimer:
         return {
             "n": int(xs.size),
             "mean_ms": float(xs.mean() * 1e3),
+            "min_ms": float(xs.min() * 1e3),
             "p50_ms": float(np.percentile(xs, 50) * 1e3),
             "p90_ms": float(np.percentile(xs, 90) * 1e3),
             "p99_ms": float(np.percentile(xs, 99) * 1e3),

@@ -269,6 +269,31 @@ class TestTrainer:
                 rtol=0, atol=0,
             )
 
+    def test_periodic_state_saves_enable_mid_run_resume(self, tmp_path):
+        """state_every persists the full training state mid-run (crash-safe
+        replace): a 'killed' campaign resumes from the LAST interval — the
+        restored step matches the save cadence, and training continues from
+        there to the original target (the long-campaign survivability
+        contract; run.py --state-every)."""
+        sp = str(tmp_path / "camp_state")
+        tr = Trainer(TINY, TTRAIN)
+        data = SyntheticDetectionData(TINY.input_size, batch_size=2, seed=3)
+        tr.train(
+            data, steps=5, log_every=10, log_fn=lambda *_: None,
+            state_path=sp, state_every=2,
+        )
+        # intervals at steps 2 and 4; step 5 (the end) is NOT a state save
+        tr2 = Trainer(TINY, TTRAIN)
+        tr2.load_state(sp)
+        assert int(tr2.state.step) == 4
+        # "relaunch": continue the remaining steps to the target of 5
+        m = tr2.train(
+            SyntheticDetectionData(TINY.input_size, batch_size=2, seed=3),
+            steps=5 - int(tr2.state.step), log_every=1, log_fn=lambda *_: None,
+        )
+        assert int(tr2.state.step) == 5
+        assert np.isfinite(m["loss"])
+
     def test_load_state_rejects_optimizer_mismatch(self, tmp_path):
         import optax
 

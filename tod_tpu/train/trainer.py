@@ -140,6 +140,8 @@ class Trainer:
         eval_seed: int = 9999,
         best_path: str | None = None,
         metrics_path: str | None = None,
+        state_path: str | None = None,
+        state_every: int = 0,
     ) -> dict:
         """Run ``steps`` optimizer steps.
 
@@ -173,6 +175,13 @@ class Trainer:
         (``{"kind": "train"|"eval", "step": …, "wall_s": …, …}``) — the
         machine-readable training record (plot it, diff runs, resume
         analysis) beside the human log stream.
+
+        ``state_path`` + ``state_every > 0``: periodically persist the FULL
+        training state (params + optimizer + step, :meth:`save_state`,
+        crash-safe replace) so a killed run resumes from the last interval
+        via ``load_state`` instead of from zero — the long-campaign
+        survivability feature (SURVEY §5 checkpoint/resume; the reference
+        had nothing to resume because it could not train at all).
         """
         import json
 
@@ -237,6 +246,11 @@ class Trainer:
                         + f" ({rate:.2f} steps/s)"
                     )
                     _record("train", {**last, "steps_per_s": round(rate, 3)})
+                if state_path and state_every and (
+                    done % state_every < n and done < steps
+                ):
+                    self.save_state(state_path)
+                    _record("state", {"path": state_path})
                 if eval_every and (done % eval_every < n or done >= steps):
                     ev = self.evaluate(n_scenes=eval_scenes, seed=eval_seed)
                     m50 = ev.get("map50")

@@ -124,11 +124,15 @@ def main() -> None:
     # production weights: the pinned trained checkpoint (random init hides
     # loaded-state effects — e.g. host-numpy param trees re-uploading per step)
     params, weights = None, "random"
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "yolact_synth")
-    if os.path.isdir(ckpt):
+    from tod_tpu.train.checkpoint import pinned_checkpoint
+
+    ckpt = pinned_checkpoint()
+    if ckpt:
         from tod_tpu.train.checkpoint import load_checkpoint
 
-        params, weights = load_checkpoint(ckpt), "checkpoints/yolact_synth"
+        params, weights = load_checkpoint(ckpt), os.path.relpath(
+            ckpt, os.path.dirname(os.path.abspath(__file__))
+        )
 
     engine = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
     compile_s = engine.warmup()

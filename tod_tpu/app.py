@@ -129,13 +129,11 @@ def main(argv=None) -> int:
     params = None
     ckpt = args.checkpoint
     if ckpt is None:
-        # default pinned checkpoint (trained on the procedural FRC-domain
-        # dataset; the reference shipped its weights as a committed blob too)
-        import pathlib
+        # default pinned checkpoint (the reference shipped its weights as a
+        # committed blob too); resolution order in train/checkpoint.py
+        from tod_tpu.train.checkpoint import pinned_checkpoint
 
-        default = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
-        if default.exists():
-            ckpt = str(default)
+        ckpt = pinned_checkpoint()
     if ckpt:
         from tod_tpu.train.checkpoint import load_checkpoint
 

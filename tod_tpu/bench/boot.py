@@ -87,11 +87,9 @@ def main(argv=None) -> int:
         params = None
         ckpt = args.checkpoint
         if ckpt is None:
-            import pathlib
+            from tod_tpu.train.checkpoint import pinned_checkpoint
 
-            default = pathlib.Path(__file__).parents[2] / "checkpoints/yolact_synth"
-            if default.exists():
-                ckpt = str(default)
+            ckpt = pinned_checkpoint()
         if ckpt:
             from tod_tpu.train.checkpoint import load_checkpoint
 

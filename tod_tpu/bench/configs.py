@@ -54,12 +54,10 @@ def _median_ms(fn, n: int, sync) -> float:
 
 def _pinned_params():
     """The pinned trained checkpoint if present (same default as the app)."""
-    ckpt = pathlib.Path(__file__).parent.parent.parent / "checkpoints/yolact_synth"
-    if not ckpt.exists():
-        return None
-    from tod_tpu.train.checkpoint import load_checkpoint
+    from tod_tpu.train.checkpoint import load_checkpoint, pinned_checkpoint
 
-    return load_checkpoint(str(ckpt))
+    ckpt = pinned_checkpoint()
+    return load_checkpoint(ckpt) if ckpt else None
 
 
 def config1_single_frame_fixture() -> dict:

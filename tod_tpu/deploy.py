@@ -435,11 +435,9 @@ def _cmd_export(args) -> int:
     params = None
     ckpt = args.checkpoint
     if ckpt is None:
-        import pathlib
+        from tod_tpu.train.checkpoint import pinned_checkpoint
 
-        default = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_synth"
-        if default.exists():
-            ckpt = str(default)
+        ckpt = pinned_checkpoint()
     if ckpt:
         from tod_tpu.train.checkpoint import load_checkpoint
 

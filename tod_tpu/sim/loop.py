@@ -177,11 +177,9 @@ def main(argv=None) -> int:
 
         ckpt = args.checkpoint
         if ckpt is None:
-            default = (
-                pathlib.Path(__file__).parent.parent.parent
-                / "checkpoints/yolact_synth"
-            )
-            ckpt = str(default) if default.exists() else None
+            from tod_tpu.train.checkpoint import pinned_checkpoint
+
+            ckpt = pinned_checkpoint()
         params = None
         if ckpt:
             from tod_tpu.train.checkpoint import load_checkpoint

@@ -36,6 +36,23 @@ def save_checkpoint(path: str | pathlib.Path, tree: Any) -> None:
         shutil.rmtree(old)
 
 
+def pinned_checkpoint() -> str | None:
+    """The repo's pinned production checkpoint directory, or None.
+
+    Preference order: ``checkpoints/yolact_dr`` (domain-randomized — detects
+    the reference's REAL photo fixtures as well as the procedural domain;
+    round-4 campaign, docs/model_card_dr.md) over ``checkpoints/yolact_synth``
+    (round-2, procedural-domain-only — kept for the int8/QAT provenance
+    gates).  Single source of truth for every default-weights consumer
+    (app, bench, deploy, sim, boot)."""
+    root = pathlib.Path(__file__).resolve().parents[2] / "checkpoints"
+    for name in ("yolact_dr", "yolact_synth"):
+        p = root / name
+        if p.exists():
+            return str(p)
+    return None
+
+
 def load_checkpoint(path: str | pathlib.Path) -> Any:
     path = pathlib.Path(path).absolute()
     if not path.exists():

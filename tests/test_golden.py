@@ -243,3 +243,105 @@ class TestTrainedCheckpoint:
                 continue
             iou = (a & b).sum() / max((a | b).sum(), 1)
             assert iou > 0.85, f"class {c} float-vs-int8 IoU {iou:.3f}"
+
+
+class TestDomainRandomizedCheckpoint:
+    """Round-4 pinned checkpoint (domain-randomized campaign,
+    checkpoints/yolact_dr): the sim-to-real gates (VERDICT r3 item 1).
+
+    The reference's de-facto regression inputs are real photographs wired in
+    as camera substitutes (reference src/yolact.rs:203-204) and its author's
+    reported failure was a model that did not work on them (reference
+    README.md:8).  These gates assert OUR pinned model detects the real
+    fixtures against hand-labeled masks (tests/fixtures/real/,
+    tools/label_real_fixtures.py) — the round-3 synthetic-only checkpoint
+    measured mAP@.5 = 0.0 here — and holds up on a cross-domain generator
+    (the perspective-projected sim renderer) it never trained on.
+    Skipped until the campaign checkpoint is pinned."""
+
+    HW = (240, 320)
+
+    @pytest.fixture(scope="class")
+    def engines(self):
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_dr"
+        if not ckpt.exists():
+            pytest.skip("domain-randomized pinned checkpoint not present")
+        from tod_tpu.train.checkpoint import load_checkpoint
+        from tod_tpu.train.evaluate import make_eval_engines
+
+        return make_eval_engines(self.HW, params=load_checkpoint(str(ckpt)))
+
+    def test_detects_the_real_fixtures(self, engines):
+        """Balls found in frc_balls.png and the robot in red_robot.png,
+        scored against the hand-labeled instance masks."""
+        if not FIXTURES.exists():
+            pytest.skip("reference fixtures unavailable")
+        from tod_tpu.train.evaluate import disk_eval_scenes, evaluate_engines
+
+        root = pathlib.Path(__file__).parent / "fixtures/real"
+        m = evaluate_engines(
+            *engines, hw=self.HW, scenes=disk_eval_scenes(str(root), self.HW, 2)
+        )
+        assert m["ap50_per_class"][3] >= 0.6, m   # the three balls
+        assert m["det_recall_iou50"] >= 0.75, m
+        assert m["map50"] >= 0.6, m
+        # the robot: AP@.5 is brittle for a 1-object class, so gate on the
+        # recall side too — SOME class-1 detection overlaps the labeled robot
+        assert m["ap50_per_class"][1] is not None, m
+
+    def test_robot_box_found_in_red_robot(self, engines):
+        """Direct per-image gate: a class-1 detection overlaps the labeled
+        robot box at IoU ≥ 0.3 (the robot is an open frame — box IoU is the
+        right granularity for 'found')."""
+        if not FIXTURES.exists():
+            pytest.skip("reference fixtures unavailable")
+        import json
+
+        from tod_tpu.core.types import Frame
+        from tod_tpu.train.evaluate import box_iou
+        from tod_tpu.utils.image_io import load_image
+
+        eng, _ = engines
+        root = pathlib.Path(__file__).parent / "fixtures/real"
+        spec = json.loads((root / "annotations.json").read_text())
+        rec = [r for r in spec["images"] if "red_robot" in r["file"]][0]
+        raw = load_image(rec["file"])
+        ih, iw = raw.shape[:2]
+        # nearest-resize to engine input (same loader path as the dataset)
+        ys = (np.arange(self.HW[0]) * ih / self.HW[0]).astype(int)
+        xs = (np.arange(self.HW[1]) * iw / self.HW[1]).astype(int)
+        img = raw[ys][:, xs]
+        ramp = np.linspace(3500, 600, self.HW[0]).astype(np.uint16)
+        depth = np.broadcast_to(ramp[:, None], self.HW).copy()
+        _, dets = eng.process(Frame(rgb=img, depth=depth))
+        valid = np.asarray(dets.valid)
+        boxes = np.asarray(dets.boxes)[valid]
+        classes = np.asarray(dets.classes)[valid]
+        y1, x1, y2, x2 = rec["objects"][0]["bbox"]
+        gt = [y1 / ih, x1 / iw, y2 / ih, x2 / iw]
+        ious = [box_iou(gt, b) for b in boxes[classes == 1]]
+        assert ious and max(ious) >= 0.3, (ious, "robot not found")
+
+    def test_cross_domain_sim_map(self, engines):
+        """mAP on sim-renderer scenes (a generator the trainer never saw):
+        detection, not memorization of one distribution."""
+        from tod_tpu.train.evaluate import evaluate_engines, sim_eval_scenes
+
+        m = evaluate_engines(
+            *engines, hw=self.HW, scenes=sim_eval_scenes(self.HW, 6, seed=11)
+        )
+        assert m["map50"] is not None and m["map50"] >= 0.5, m
+        assert m["det_recall_iou50"] >= 0.6, m
+
+    def test_same_domain_gates_still_hold(self):
+        """Pinning the domain-randomized checkpoint must not regress the
+        procedural-domain quality bars the round-2/3 checkpoint set."""
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_dr"
+        if not ckpt.exists():
+            pytest.skip("domain-randomized pinned checkpoint not present")
+        from tod_tpu.train.evaluate import evaluate
+
+        m = evaluate(str(ckpt), n_scenes=8, seed=9999)
+        assert m["map50"] >= 0.9, m
+        assert m["det_recall_iou50"] >= 0.8, m
+        assert m["inst_mask_iou_mean"] >= 0.75, m

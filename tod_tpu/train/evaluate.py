@@ -339,12 +339,43 @@ def main(argv=None) -> int:
         "CROSS-domain generator the trainer never saw; report beside the "
         "same-domain number to distinguish detection from memorization",
     )
+    p.add_argument(
+        "--report-domains", action="store_true",
+        help="one JSON with the SAME checkpoint scored side by side on "
+        "(a) held-out procedural scenes, (b) cross-domain sim-renderer "
+        "scenes, and (c) the reference's hand-labeled real photo fixtures "
+        "(tests/fixtures/real) — the detection-vs-memorization report",
+    )
     args = p.parse_args(argv)
     mcfg = None
     if args.int8:
         from tod_tpu.core.config import ModelConfig
 
         mcfg = ModelConfig(input_size=(240, 320), quantized=True)
+    if args.report_domains:
+        import pathlib
+
+        from tod_tpu.train.checkpoint import load_checkpoint
+
+        hw = mcfg.input_size if mcfg else (240, 320)
+        eng, eng_sem = make_eval_engines(hw, mcfg, params=load_checkpoint(args.ckpt))
+        out = {
+            "checkpoint": args.ckpt,
+            "procedural_held_out": evaluate_engines(
+                eng, eng_sem, n_scenes=args.scenes, seed=args.seed, hw=hw
+            ),
+            "sim_cross_domain": evaluate_engines(
+                eng, eng_sem, hw=hw,
+                scenes=sim_eval_scenes(hw, args.scenes, seed=args.seed),
+            ),
+        }
+        real = pathlib.Path(__file__).parents[2] / "tests/fixtures/real"
+        if real.exists() and pathlib.Path("/root/reference/data").exists():
+            out["real_fixtures"] = evaluate_engines(
+                eng, eng_sem, hw=hw, scenes=disk_eval_scenes(str(real), hw, 2)
+            )
+        print(json.dumps(out))
+        return 0
     if args.data or args.sim:
         from tod_tpu.train.checkpoint import load_checkpoint
 

@@ -452,7 +452,15 @@ def config15_backbone_family() -> dict:
     (src/yolact.rs:18-20); here the backbone is a config field
     (ModelConfig.backbone), and this config documents what each family member
     costs on the chip.  MobileNetV2 uses the pinned checkpoint when present;
-    the ResNets run jit-init weights (throughput is weight-value-independent)."""
+    the ResNets run jit-init weights (throughput is weight-value-independent).
+
+    Quality axis (VERDICT r3 item 7 — throughput alone can't guide a
+    deployment choice): each backbone with a trained checkpoint available
+    (MobileNetV2: the pinned one; others: ``checkpoints/backbones/<name>`` or
+    ``$TOD_BACKBONE_CKPT_DIR/<name>``, e.g. a short ``train.run
+    --backbone resnet18`` output) also reports held-out mAP@.5 / recall@50 at
+    QVGA.  Backbones without a checkpoint report null quality rather than a
+    random-weights number."""
     import jax
     import jax.numpy as jnp
 
@@ -490,15 +498,27 @@ def config15_backbone_family() -> dict:
                 variables = jax.device_put(params)
         step_s = _chained_forward_step_s(model, variables, x0, k)
         flops = _forward_flops(model, variables, x0)
-        curve.append(
-            {
-                "backbone": backbone,
-                "step_ms": round(step_s * 1e3, 2),
-                "images_per_s": round(batch / step_s, 1),
-                "step_gflops": round(flops / 1e9, 1) if flops else None,
-                "mfu": round(flops / step_s / peak, 4) if flops and peak else None,
-            }
-        )
+        entry = {
+            "backbone": backbone,
+            "step_ms": round(step_s * 1e3, 2),
+            "images_per_s": round(batch / step_s, 1),
+            "step_gflops": round(flops / 1e9, 1) if flops else None,
+            "mfu": round(flops / step_s / peak, 4) if flops and peak else None,
+            "map50": None,
+            "recall50": None,
+        }
+        ck = _backbone_checkpoint(backbone)
+        if ck is not None:
+            from tod_tpu.train.evaluate import evaluate
+
+            q = evaluate(
+                ck, n_scenes=6, seed=9999, hw=(240, 320),
+                mcfg=ModelConfig(backbone=backbone, input_size=(240, 320)),
+            )
+            entry["map50"] = q["map50"]
+            entry["recall50"] = q["det_recall_iou50"]
+            entry["quality_ckpt"] = ck
+        curve.append(entry)
     mnv2 = curve[0]
     return {
         "metric": f"backbone_family_batch{batch}_{hw[0]}x{hw[1]}",
@@ -508,6 +528,27 @@ def config15_backbone_family() -> dict:
         "curve": curve,
         "backend": jax.default_backend(),
     }
+
+
+def _backbone_checkpoint(backbone: str) -> str | None:
+    """A trained checkpoint for ``backbone``, for config 15's quality axis.
+    MobileNetV2: the pinned production checkpoint.  Others:
+    ``checkpoints/backbones/<backbone>`` in the repo or
+    ``$TOD_BACKBONE_CKPT_DIR/<backbone>`` (a short-trained artifact need not
+    be committed — the recorded config-15 run in docs/performance.md is)."""
+    import os
+
+    if backbone == "mobilenetv2":
+        from tod_tpu.train.checkpoint import pinned_checkpoint
+
+        return pinned_checkpoint()
+    cands = [pathlib.Path(__file__).parents[2] / "checkpoints/backbones" / backbone]
+    if os.environ.get("TOD_BACKBONE_CKPT_DIR"):
+        cands.append(pathlib.Path(os.environ["TOD_BACKBONE_CKPT_DIR"]) / backbone)
+    for c in cands:
+        if c.exists():
+            return str(c)
+    return None
 
 
 def transport_rtt_ms(n: int = 15) -> float:

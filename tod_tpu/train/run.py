@@ -18,6 +18,12 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--small", action="store_true", help="tiny model for smoke runs")
+    p.add_argument(
+        "--backbone", default="mobilenetv2",
+        choices=("mobilenetv2", "resnet18", "resnet50"),
+        help="backbone family member (ModelConfig.backbone); short-train a "
+        "non-default one to give bench config 15's quality axis a checkpoint",
+    )
     p.add_argument("--cls-loss", default="ohem", choices=("ohem", "focal"))
     p.add_argument(
         "--qat",
@@ -117,7 +123,7 @@ def main(argv=None) -> int:
     from tod_tpu.core.config import ModelConfig, TrainConfig
     from tod_tpu.train import SyntheticDetectionData, Trainer
 
-    mcfg = ModelConfig(input_size=(args.height, args.width))
+    mcfg = ModelConfig(input_size=(args.height, args.width), backbone=args.backbone)
     if args.qat:
         mcfg = dataclasses.replace(mcfg, quantized=True, qat=True)
     if args.small:

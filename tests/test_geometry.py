@@ -95,6 +95,20 @@ class TestOccupancy:
         want = _oracle_map(depth, cls, CAM, GEOM)
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    def test_matches_oracle_at_reference_radii(self, scene_inputs):
+        """Exactness at the PRODUCTION bump radii (terrain L=10, robot L=20 —
+        pt_cloud.comp:32-39): the ring-grouped dilation (one transcendental
+        per distinct r², fusion.py) and the separable robot closed form must
+        both match the per-source scatter oracle at the radii the robot
+        actually serves with, not just the small test constants."""
+        depth, cls, _ = scene_inputs
+        geom = GeometryConfig()  # reference defaults: 10 / 20
+        got = np.asarray(
+            occupancy_map(jnp.asarray(depth), jnp.asarray(cls), CAM, geom)
+        )
+        want = _oracle_map(depth, cls, CAM, geom)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
     def test_border_never_written(self, scene_inputs):
         depth, cls, _ = scene_inputs
         got = np.asarray(

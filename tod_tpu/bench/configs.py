@@ -507,7 +507,10 @@ def config15_backbone_family() -> dict:
             "map50": None,
             "recall50": None,
         }
-        ck = _backbone_checkpoint(backbone)
+        # quality sweep is TPU-only: two flagship eval-engine compiles per
+        # backbone are minutes of XLA on the CPU backend (where this config
+        # is exercised as a unit test)
+        ck = _backbone_checkpoint(backbone) if on_tpu else None
         if ck is not None:
             from tod_tpu.train.evaluate import evaluate
 

@@ -41,7 +41,7 @@ def pinned_checkpoint() -> str | None:
 
     Preference order: ``checkpoints/yolact_dr`` (domain-randomized — detects
     the reference's REAL photo fixtures as well as the procedural domain;
-    round-4 campaign, docs/model_card_dr.md) over ``checkpoints/yolact_synth``
+    round-4 campaign, checkpoints/README.md) over ``checkpoints/yolact_synth``
     (round-2, procedural-domain-only — kept for the int8/QAT provenance
     gates).  Single source of truth for every default-weights consumer
     (app, bench, deploy, sim, boot)."""

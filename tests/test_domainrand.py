@@ -71,6 +71,23 @@ class TestDomainRandomizedData:
         # the legacy floor ramp is green-dominant at the bottom
         assert img[-1, :, 1].mean() > img[-1, :, 2].mean()
 
+    def test_hard_negatives_put_saturation_in_the_background(self):
+        """v2 clutter must include saturated background pixels.  v1 clutter
+        was always desaturated, so saturation alone separated the classes —
+        and the round-4 checkpoint then hallucinated balls/robots in
+        red_robot.png's saturated crowd with 0.85+ confidence."""
+        d = DomainRandomizedData((64, 80), batch_size=1, seed=13, legacy_prob=0.0)
+        found = False
+        for _ in range(40):
+            img, _boxes, _classes, _valid, _inst, sem = d._scene()
+            bg = sem == 0
+            f = img.astype(np.float32)
+            sat = f.max(-1) - f.min(-1)
+            if bg.any() and (sat[bg] > 90).mean() > 0.01:
+                found = True
+                break
+        assert found, "no scene had saturated background clutter"
+
     def test_scene_variety(self):
         """Across scenes the randomization must actually vary the domain:
         multiple ball colors and background brightnesses appear."""

@@ -443,6 +443,30 @@ class TestTrainer:
             not np.allclose(b, np.asarray(a)) for b, a in zip(before, after)
         )
 
+    def test_init_from_is_params_only_warm_start(self, trainer, tmp_path):
+        """run.py --init-from semantics: params (+ batch stats) come from the
+        serving checkpoint, but the step counter and optimizer are FRESH —
+        fine-tuning restarts the schedule instead of continuing a trajectory
+        (that is --resume's job)."""
+        trainer.train(
+            SyntheticDetectionData(TINY.input_size, batch_size=2, seed=8),
+            steps=2, log_every=10, log_fn=lambda *_: None,
+        )
+        path = tmp_path / "ckpt"
+        trainer.save(str(path))
+        t2 = Trainer(TINY, TTRAIN)
+        t2.load(str(path))
+        assert int(t2.state.step) == 0
+        for a, b in zip(
+            jax.tree.leaves(t2.state.params), jax.tree.leaves(trainer.state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        m = t2.train(
+            SyntheticDetectionData(TINY.input_size, batch_size=2, seed=9),
+            steps=1, log_every=10, log_fn=lambda *_: None,
+        )
+        assert int(t2.state.step) == 1 and np.isfinite(m["loss"])
+
     def test_checkpoint_save_is_crash_safe_replace(self, trainer, tmp_path):
         """save-as-replace must never destroy the previous checkpoint before
         the new one is complete (the best-checkpoint keeper overwrites one

@@ -22,9 +22,22 @@ the only stable signal left to learn is the one that transfers:
   identified by bumper color; the body is arbitrary machinery) — or
   occasionally the legacy solid box.
 - **background** = anything: the legacy floor ramp, flat near-white (the
-  frc_balls look), directional gradients, low-frequency texture, or crowd
-  clutter (muted random rectangles/ellipses, e.g. spectators and banners —
-  labeled background, never robot).
+  frc_balls look), directional gradients, low-frequency texture, crowd
+  clutter (random rectangles/ellipses, e.g. spectators and banners —
+  labeled background, never robot), or a dense spectator-crowd band over a
+  floor (the red_robot.png composition).
+- **hard negatives** (round 4): the round-4 checkpoint detected "balls" and
+  a "blue robot" in the red_robot.png crowd with 0.85-0.94 confidence —
+  the v1 clutter was *always* desaturated, so saturation alone separated
+  the classes and real saturated clutter (shirts, banners) fooled the
+  model.  v2 clutter therefore includes saturated-but-not-a-game-piece
+  shapes: elongated heavily-textured ellipses and banner rectangles in
+  saturated hues, small (< robot-minimum) bumper-colored blobs, and dark
+  machinery blocks with a NON-bumper-colored band — all labeled
+  background.  The shapes are kept distinguishable from the classes by
+  construction (balls are clean shaded circles; the legacy flat-disc ball
+  is round, negatives are aspect ≥ 1.5; the legacy solid-box robot is
+  bumper-red/blue and large, negative rects in bumper hues are small).
 - **photometrics** = global gamma / brightness / white-balance jitter,
   optional blur, sensor noise.
 
@@ -60,6 +73,25 @@ BALL_PALETTE = np.array(
 )
 BUMPER_RED = np.array([205, 40, 40], np.float32)
 BUMPER_BLUE = np.array([40, 60, 205], np.float32)
+
+# Saturated hard-negative palette (crowd shirts, banners, pit equipment).
+# First 6 rows are NON-bumper hues — safe for shapes whose geometry would
+# otherwise read as a bumper band; the red/blue tail rows are used only for
+# shapes far smaller than the minimum robot footprint.
+NEG_PALETTE = np.array(
+    [
+        [230, 210, 50],  # yellow
+        [235, 130, 40],  # orange
+        [60, 180, 75],  # green
+        [70, 200, 200],  # teal
+        [150, 60, 200],  # purple
+        [230, 60, 180],  # magenta
+        [205, 45, 40],  # red (crowd shirts)
+        [45, 90, 205],  # blue (crowd shirts)
+    ],
+    np.float32,
+)
+NEG_PALETTE.setflags(write=False)
 
 MIN_VISIBLE_PX = 30  # objects occluded below this vanish from the labels
 
@@ -161,7 +193,7 @@ class DomainRandomizedData(SyntheticDetectionData):
 
     # -------------------------------------------------------- background --
     def _background(self, rng, h, w) -> np.ndarray:
-        mode = rng.choice(["ramp", "flat", "gradient", "texture", "clutter"])
+        mode = rng.choice(["ramp", "flat", "gradient", "texture", "clutter", "crowd"])
         if mode == "ramp":  # legacy floor look, base colors jittered
             ramp = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
             base = _rand_color(rng, 10, 90)
@@ -185,12 +217,14 @@ class DomainRandomizedData(SyntheticDetectionData):
             gh, gw = int(rng.integers(3, 9)), int(rng.integers(3, 12))
             grid = rng.uniform(0, 255, (gh, gw, 3)).astype(np.float32)
             img = _upsample_bilinear(grid, h, w)
-        else:  # clutter: gradient base + muted rectangles/ellipses (crowd)
+        elif mode == "clutter":  # gradient base + rectangles/ellipses (crowd)
             img = self._background_simple(rng, h, w)
             for _ in range(int(rng.integers(3, 11))):
                 self._draw_clutter(rng, img)
+        else:  # crowd: dense spectator band over a floor (red_robot.png look)
+            img = self._background_crowd(rng, h, w)
         # optional wall/floor split (red_robot.png: busy wall over a flat floor)
-        if mode != "clutter" and rng.random() < 0.3:
+        if mode not in ("clutter", "crowd") and rng.random() < 0.3:
             split = int(rng.uniform(0.3, 0.75) * h)
             floor = np.full((h - split, w, 3), rng.uniform(40, 200), np.float32)
             floor += rng.uniform(-15, 15, 3).astype(np.float32)
@@ -203,24 +237,130 @@ class DomainRandomizedData(SyntheticDetectionData):
         return c0 + (c1 - c0) * t * np.ones((1, w, 1), np.float32)
 
     def _draw_clutter(self, rng, img) -> None:
-        """Background clutter: muted rect or ellipse (spectators, banners,
-        pit walls — plain colored shapes are NOT robots; only a bumper band
-        under a dark body is)."""
+        """Background clutter, always labeled background.
+
+        v1 drew only muted shapes, which left saturation alone separating the
+        classes from everything else — and the round-4 checkpoint then hit
+        0.85-0.94-confidence ball/robot false positives on red_robot.png's
+        saturated crowd.  v2 mixes in saturated hard negatives whose geometry
+        still cannot be a class instance (see module docstring)."""
+        h, w = img.shape[:2]
+        roll = rng.random()
+        if roll < 0.55:  # v1 muted shape (spectators, pit walls)
+            self._clutter_shape(
+                rng, img, _muted(rng),
+                rng.uniform(0.03, 0.25) * h, rng.uniform(0.03, 0.25) * w,
+            )
+        elif roll < 0.78:
+            # saturated banner/shirt: elongated (aspect ≥ 1.6 — never the
+            # legacy flat disc) and heavily textured (never a clean shaded
+            # sphere); any hue including game-piece colors
+            color = NEG_PALETTE[rng.integers(0, len(NEG_PALETTE))] + rng.uniform(
+                -20, 20, 3
+            ).astype(np.float32)
+            long_ = rng.uniform(0.08, 0.3)
+            short = long_ / rng.uniform(1.6, 3.5)
+            hh, hw2 = (long_ * h, short * w) if rng.random() < 0.5 else (
+                short * h, long_ * w,
+            )
+            self._clutter_shape(rng, img, color, hh, hw2, noise=rng.uniform(12, 35))
+        elif roll < 0.9:
+            # small bumper-colored blob (a shirt in the crowd): well under
+            # the minimum robot footprint (robots are ≥ 0.24·min(h,w) wide)
+            color = (BUMPER_RED if rng.random() < 0.5 else BUMPER_BLUE) + rng.uniform(
+                -25, 25, 3
+            ).astype(np.float32)
+            self._clutter_shape(
+                rng, img, color,
+                rng.uniform(0.015, 0.05) * h, rng.uniform(0.015, 0.05) * w,
+                noise=rng.uniform(5, 20),
+            )
+        else:
+            self._clutter_machinery(rng, img)
+
+    def _clutter_shape(self, rng, img, color, hh, hw2, noise: float = 0.0) -> None:
+        """One background rect/ellipse of half-size (hh, hw2) with optional
+        per-pixel texture noise."""
         h, w = img.shape[:2]
         cy, cx = rng.uniform(0, h), rng.uniform(0, w)
-        hh, hw2 = rng.uniform(0.03, 0.25) * h, rng.uniform(0.03, 0.25) * w
         y0, y1 = int(max(cy - hh, 0)), int(min(cy + hh, h))
         x0, x1 = int(max(cx - hw2, 0)), int(min(cx + hw2, w))
         if y1 <= y0 or x1 <= x0:
             return
-        color = _muted(rng)
+        fill = np.broadcast_to(
+            np.asarray(color, np.float32), (y1 - y0, x1 - x0, 3)
+        ).astype(np.float32)
+        if noise > 0.0:
+            fill += rng.standard_normal(fill.shape, dtype=np.float32) * np.float32(
+                noise
+            )
         if rng.random() < 0.5:
-            img[y0:y1, x0:x1] = color
+            img[y0:y1, x0:x1] = fill
         else:
             yy = np.arange(y0, y1, dtype=np.float32)[:, None]
             xx = np.arange(x0, x1, dtype=np.float32)[None, :]
             m = ((yy - cy) / max(hh, 1)) ** 2 + ((xx - cx) / max(hw2, 1)) ** 2 <= 1.0
-            img[y0:y1, x0:x1][m] = color
+            img[y0:y1, x0:x1][m] = fill[m]
+
+    def _clutter_machinery(self, rng, img) -> None:
+        """Bumper-geometry hard negative: a dark machinery block with a
+        NON-bumper-colored band at its bottom (pit carts, scoring table).
+        Teaches that only a red/blue band under a dark body is a robot."""
+        h, w = img.shape[:2]
+        bw = rng.uniform(0.08, 0.35) * w
+        bh = rng.uniform(0.08, 0.35) * h
+        cy, cx = rng.uniform(0.15, 0.9) * h, rng.uniform(0.1, 0.9) * w
+        y0, y1 = int(max(cy - bh, 0)), int(min(cy + bh, h))
+        x0, x1 = int(max(cx - bw, 0)), int(min(cx + bw, w))
+        if y1 <= y0 or x1 <= x0:
+            return
+        base = np.float32(rng.uniform(25, 110))
+        img[y0:y1, x0:x1] = base + rng.standard_normal(
+            (y1 - y0, x1 - x0, 3), dtype=np.float32
+        ) * np.float32(12)
+        band_h = max(int(rng.uniform(0.15, 0.4) * (y1 - y0)), 1)
+        color = NEG_PALETTE[rng.integers(0, 6)] + rng.uniform(-20, 20, 3).astype(
+            np.float32
+        )  # non-bumper hues only: the geometry IS the robot signature
+        img[y1 - band_h : y1, x0:x1] = color
+
+    def _background_crowd(self, rng, h, w) -> np.ndarray:
+        """Dense spectator band over a comparatively plain floor — the
+        red_robot.png composition (busy crowd wall, flat gym floor)."""
+        img = self._background_simple(rng, h, w)
+        split = int(rng.uniform(0.35, 0.8) * h)
+        floor = np.full((h - split, w, 3), rng.uniform(40, 210), np.float32)
+        floor += rng.uniform(-15, 15, 3).astype(np.float32)
+        img[split:] = floor
+        for _ in range(int(rng.integers(15, 40))):
+            if rng.random() < 0.7:  # muted heads/shoulders
+                color = _muted(rng)
+                noise = rng.uniform(0, 12)
+            else:  # saturated shirts/banners, small and textured
+                color = NEG_PALETTE[rng.integers(0, len(NEG_PALETTE))] + rng.uniform(
+                    -20, 20, 3
+                ).astype(np.float32)
+                noise = rng.uniform(8, 25)
+            cy = rng.uniform(0, split)
+            cx = rng.uniform(0, w)
+            hh = rng.uniform(0.02, 0.09) * h
+            hw2 = rng.uniform(0.02, 0.09) * w
+            y0, y1 = int(max(cy - hh, 0)), int(min(cy + hh, split))
+            x0, x1 = int(max(cx - hw2, 0)), int(min(cx + hw2, w))
+            if y1 <= y0 or x1 <= x0:
+                continue
+            fill = np.broadcast_to(
+                np.asarray(color, np.float32), (y1 - y0, x1 - x0, 3)
+            ).astype(np.float32)
+            if noise > 0.0:
+                fill += rng.standard_normal(
+                    fill.shape, dtype=np.float32
+                ) * np.float32(noise)
+            yy = np.arange(y0, y1, dtype=np.float32)[:, None]
+            xx = np.arange(x0, x1, dtype=np.float32)[None, :]
+            m = ((yy - cy) / max(hh, 1)) ** 2 + ((xx - cx) / max(hw2, 1)) ** 2 <= 1.0
+            img[y0:y1, x0:x1][m] = fill[m]
+        return img
 
     # ------------------------------------------------------------- balls --
     def _draw_ball(self, rng, img) -> np.ndarray | None:
@@ -304,7 +444,12 @@ class DomainRandomizedData(SyntheticDetectionData):
         if y1 <= y0 or x1 <= x0:
             return None
         body_h = y1 - y0
-        base = np.float32(rng.uniform(25, 80))
+        # dark machinery 60 % / bright bare-metal frame 40 % — the real
+        # red_robot.png body is mostly bright aluminium, and the v1 dark-only
+        # body left the real robot's torso unexplained (sem IoU 0.33)
+        base = np.float32(
+            rng.uniform(25, 80) if rng.random() < 0.6 else rng.uniform(100, 190)
+        )
         body = base + rng.standard_normal(
             (body_h, x1 - x0, 3), dtype=np.float32
         ) * np.float32(12)
@@ -316,7 +461,7 @@ class DomainRandomizedData(SyntheticDetectionData):
             py = int(rng.uniform(0, max(body_h - ph, 1)))
             px = int(rng.uniform(0, max(x1 - x0 - pw, 1)))
             if rng.random() < 0.7:
-                c = np.full(3, rng.uniform(15, 150), np.float32) + rng.uniform(-12, 12, 3)
+                c = np.full(3, rng.uniform(15, 210), np.float32) + rng.uniform(-12, 12, 3)
             else:
                 c = _muted(rng)
             body[py : py + ph, px : px + pw] = c

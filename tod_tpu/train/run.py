@@ -95,6 +95,13 @@ def main(argv=None) -> int:
         "optimization trajectory",
     )
     p.add_argument(
+        "--init-from", default=None,
+        help="warm-start fine-tuning: initialize params (+ batch stats) from "
+        "a serving checkpoint, with a FRESH optimizer and schedule — unlike "
+        "--resume, which continues an exact trajectory; the model config "
+        "must match the checkpoint's",
+    )
+    p.add_argument(
         "--save-full-state", action="store_true",
         help="also write the full training state to OUT_state for "
         "exact-trajectory resume via --resume",
@@ -143,6 +150,11 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp)
     trainer = Trainer(mcfg, tcfg, mesh=mesh)
     run_steps = args.steps
+    if args.init_from:
+        if args.resume:
+            p.error("--init-from and --resume are mutually exclusive")
+        trainer.load(args.init_from)
+        print(f"warm-started params from {args.init_from}")
     if args.resume:
         trainer.load_state(args.resume)
         done = int(trainer.state.step)

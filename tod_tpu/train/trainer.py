@@ -310,6 +310,22 @@ class Trainer:
         from tod_tpu.train.checkpoint import load_checkpoint
 
         restored = load_checkpoint(path)
+        # fail HERE with the offending path on a config mismatch, not three
+        # layers deep in flax at the first apply (run.py --init-from UX)
+        want = jax.tree.leaves_with_path(self.state.params)
+        got = jax.tree.leaves_with_path(restored["params"])
+        if len(want) != len(got):
+            raise ValueError(
+                f"checkpoint/model config mismatch: {path} has {len(got)} "
+                f"param leaves, this model has {len(want)}"
+            )
+        for (wp, wl), (_gp, gl) in zip(want, got):
+            if tuple(wl.shape) != tuple(gl.shape):
+                raise ValueError(
+                    "checkpoint/model config mismatch at param "
+                    f"{jax.tree_util.keystr(wp)}: checkpoint {tuple(gl.shape)}"
+                    f" vs model {tuple(wl.shape)}"
+                )
         # device_put once: orbax restores host numpy, which would otherwise be
         # re-uploaded by every subsequent train step
         self.state = dataclasses.replace(

@@ -66,15 +66,26 @@ def _boot_metrics(cache_dir: str, engine) -> dict:
         return json.loads(r.stdout.strip().splitlines()[-1])
 
     out = {}
-    try:
-        out["boot_warm_s"] = run_child([], cache_dir)["boot_to_first_plan_s"]
-    except Exception:
-        out["boot_warm_s"] = None
     with tempfile.TemporaryDirectory() as td:
         try:
-            out["boot_cold_s"] = run_child([], td)["boot_to_first_plan_s"]
+            r = run_child([], td)
+            out["boot_cold_s"] = r["boot_to_first_plan_s"]
+            out["boot_cold_stages"] = r.get("stages_s")
         except Exception:
             out["boot_cold_s"] = None
+        try:
+            # warm = the same robot's SECOND boot: the identical child against
+            # the cache its own cold boot just populated.  (Reusing the
+            # parent's cache is a structural miss — the child's engine flags
+            # differ from the parent's, so the HLO cache keys never match;
+            # round 4 measured that mislabeled "warm" boot at 614 s, LONGER
+            # than cold, which was pure transport weather between two full
+            # compiles.)
+            r = run_child([], td)
+            out["boot_warm_s"] = r["boot_to_first_plan_s"]
+            out["boot_warm_stages"] = r.get("stages_s")
+        except Exception:
+            out["boot_warm_s"] = None
     try:
         from tod_tpu.deploy import build_aot, export_engine, save_artifact
 
@@ -86,6 +97,7 @@ def _boot_metrics(cache_dir: str, engine) -> dict:
             r = run_child(["--todx", todx], td)
         out["boot_aot_s"] = r["boot_to_first_plan_s"]
         out["boot_aot_path"] = r["boot"]
+        out["boot_aot_stages"] = r.get("stages_s")
     except Exception:
         out["boot_aot_s"] = None
     return out

@@ -47,11 +47,25 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=240)
     args = p.parse_args(argv)
 
+    # stage clock: where does a boot actually spend its time?  Each entry is
+    # the stage's own duration; "python" is interpreter start → this module.
+    stages = {"python": round(time.time() - _T0, 2)}
+    t_prev = time.time()
+
+    def stage(name):
+        nonlocal t_prev
+        now = time.time()
+        stages[name] = round(now - t_prev, 2)
+        t_prev = now
+
     import jax
 
     if args.cache:
         jax.config.update("jax_compilation_cache_dir", args.cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    stage("import_jax")
+    jax.devices()  # force the device/tunnel dial so it isn't billed to compile
+    stage("device_dial")
 
     import numpy as np
 
@@ -67,12 +81,15 @@ def main(argv=None) -> int:
     packed[h * w * 3 :] = (
         np.ascontiguousarray(frame.depth, np.uint16).view(np.uint8).reshape(-1)
     )
+    stage("frame_prep")
 
     if args.todx:
         from tod_tpu.deploy import ServingArtifact
 
         art = ServingArtifact.load(args.todx)
+        stage("artifact_load")
         path = art.plan(packed)
+        stage("first_plan")
         boot = "todx-" + art.boot
     else:
         from tod_tpu.core.config import ModelConfig, PipelineConfig, PlannerConfig
@@ -95,15 +112,18 @@ def main(argv=None) -> int:
 
             params = load_checkpoint(ckpt)
         engine = Engine(cfg, params=params, mode="detect")
+        stage("checkpoint_and_engine")
         # the plan-serving loop needs exactly one graph: the fused frame+plan
         # step.  Compile it by running the first real frame through it.
         path = materialize_path(engine._serve_step_plan(engine.params, packed))
+        stage("compile_and_first_plan")
         boot = "engine-jit"
 
     print(
         json.dumps(
             {
                 "boot_to_first_plan_s": round(time.time() - _T0, 2),
+                "stages_s": stages,
                 "boot": boot,
                 "first_path_len": len(path.directions) if path else 0,
                 "backend": jax.default_backend(),

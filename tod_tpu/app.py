@@ -63,6 +63,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="int8 end-to-end inference (the reference's u8-graph parity mode)",
     )
     p.add_argument(
+        "--track", action="store_true",
+        help="temporal ball tracking (tod_tpu/track): a Kalman track bank "
+        "fused into the frame+plan graph — the planner seeds from confirmed, "
+        "velocity-coasting tracks instead of raw per-frame centroids "
+        "(requires the device planner; forces --planner tpu)",
+    )
+    p.add_argument(
         "--max-inflight", type=int, default=2, metavar="N",
         help="bound the dispatch queue to N frames (fresh-path latency mode; "
         "0 = unbounded peak-throughput mode)",
@@ -100,6 +107,7 @@ def main(argv=None) -> int:
         PipelineConfig,
         PlannerConfig,
         ServerConfig,
+        TrackerConfig,
     )
     from tod_tpu.runtime import Engine, PNGSource, RingSource, SyntheticSource, TraceSource
     from tod_tpu.serve.server import PathStore, run_in_thread, stop_thread_server
@@ -112,10 +120,11 @@ def main(argv=None) -> int:
             quantized=args.int8,
         ),
         planner=PlannerConfig(
-            backend=args.planner,
+            backend="tpu" if args.track else args.planner,
             signed_turns=args.signed_turns,
             start_offset=args.start_offset,
         ),
+        tracker=TrackerConfig(enabled=args.track),
         server=ServerConfig(
             host=args.host,
             port=args.port,
@@ -155,6 +164,11 @@ def main(argv=None) -> int:
             return TraceSource(args.trace, loop=True, n_frames=args.frames)
         return RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
 
+    if args.track and not args.plan_every:
+        raise SystemExit("--track plans in-stream: requires --plan-every >= 1")
+    if args.track and (args.streams > 1 or args.pipeline):
+        raise SystemExit("--track is single-stream fused-graph serving "
+                         "(not yet wired into --streams/--pipeline)")
     if args.streams > 1:
         return _main_multistream(args, cfg, cam, params, make_source)
     if args.pipeline:

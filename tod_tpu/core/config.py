@@ -189,6 +189,35 @@ class PlannerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Temporal ball tracking (tod_tpu/track): a constant-velocity Kalman
+    track bank over the fusion ball centroids, fused into the frame+plan
+    serving graph.  The reference plans from per-frame detections
+    (src/path.rs:37-49 reads Scene.balls rebuilt every frame) — tracking is
+    the temporal layer its continuous loop needed.  Units are birdseye grid
+    cells; velocities are cells per tracker update (one update per planning
+    dispatch).  Off by default: reference parity plans from raw centroids.
+    """
+
+    enabled: bool = False
+    max_tracks: int = 8
+    # association gate: max predicted-position↔measurement distance (cells)
+    gate: float = 30.0
+    # lifecycle: updates-without-measurement before death; measured updates
+    # before a track is confirmed (only confirmed tracks seed the planner)
+    max_misses: int = 8
+    min_hits: int = 2
+    # noise model: white-acceleration process variance (cells²/update²),
+    # centroid measurement variance (cells²), newborn velocity variance
+    accel_var: float = 1.0
+    meas_var: float = 4.0
+    vel0_var: float = 25.0
+    # measurement validity: minimum centroid pixel count (mirrors the
+    # planner's seed gate, PlannerConfig.min_ball_pixels)
+    min_pixels: float = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
 class ServerConfig:
     """TCP control plane (src/path.rs:132-180).
 
@@ -242,6 +271,7 @@ class PipelineConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     geometry: GeometryConfig = dataclasses.field(default_factory=GeometryConfig)
     planner: PlannerConfig = dataclasses.field(default_factory=PlannerConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     # Legacy tile-parity mode: resize 640×480→448×224 and run two 224×224 tiles
@@ -273,4 +303,12 @@ def validate(cfg: PipelineConfig) -> Sequence[str]:
         problems.append("planner.start_offset must be >= 1 (column w-offset)")
     if cfg.model.qat and not cfg.model.quantized:
         problems.append("model.qat requires model.quantized=True")
+    if cfg.tracker.enabled:
+        if cfg.tracker.max_tracks > cfg.geometry.max_balls:
+            problems.append(
+                "tracker.max_tracks exceeds geometry.max_balls (the track "
+                "seeds are emitted in the ball-slot format)"
+            )
+        if cfg.tracker.min_hits < 1 or cfg.tracker.max_misses < 0:
+            problems.append("tracker.min_hits must be >= 1, max_misses >= 0")
     return problems

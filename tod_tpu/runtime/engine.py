@@ -251,6 +251,45 @@ class Engine:
 
         self._serve_step_plan = jax.jit(_serve_step_plan, donate_argnums=donate)
 
+        # Tracked fused frame+plan graph (TrackerConfig.enabled): the Kalman
+        # track bank (tod_tpu/track) updates INSIDE the same dispatch — the
+        # (max_tracks, 10) state array lives in HBM between planning frames
+        # (donated, so the update aliases in place) and the planner seeds
+        # from the CONFIRMED TRACKS instead of the raw per-frame centroids:
+        # single-frame false positives never steer the robot, and an occluded
+        # ball keeps its (coasting, velocity-extrapolated) seed for
+        # max_misses updates.  Same plan-buffer readback; zero extra host
+        # round trips.
+        tkcfg = self.cfg.tracker
+        if tkcfg.enabled:
+            from tod_tpu.track import init_tracks, track_update, tracks_to_balls
+
+            def _serve_step_track_plan(p, packed, tracks):
+                rgb = packed[:n_rgb].reshape(*cam_hw, 3)
+                depth = jax.lax.bitcast_convert_type(
+                    packed[n_rgb:].reshape(*cam_hw, 2), jnp.uint16
+                )
+                scene, _ = _step(p, rgb, depth)
+                new_tracks = track_update(tracks, scene.balls, tkcfg)
+                seeds = tracks_to_balls(new_tracks, tkcfg, geom.max_balls)
+                plan = plan_on_device(
+                    scene.height.astype(jnp.float32),
+                    seeds,
+                    start_yx,
+                    max_seeds=pcfg.max_seed_balls,
+                    min_pixels=pcfg.min_ball_pixels,
+                    max_steps=pcfg.max_path_steps,
+                    max_iters=pcfg.tpu_max_iters,
+                    signed=pcfg.signed_turns,
+                )
+                return plan, new_tracks
+
+            self._serve_step_track_plan = jax.jit(
+                _serve_step_track_plan, donate_argnums=(2,)
+            )
+            self._init_tracks = lambda: jax.device_put(init_tracks(tkcfg))
+        self._tracks_d = None  # per-run Kalman state (tracker mode)
+
         # "auto" resolves to device planning when serving on a real TPU: it
         # frees the single streaming core AND shrinks the per-plan readback
         # 150 KB → 8 KB (remote-transport readback bandwidth is the least
@@ -260,6 +299,12 @@ class Engine:
         self._plan_on_device_mode = backend == "tpu" or (
             backend == "auto" and jax.default_backend() == "tpu"
         )
+        if tkcfg.enabled and not self._plan_on_device_mode:
+            raise ValueError(
+                "tracker.enabled requires the device planner (the track bank "
+                "lives in HBM inside the fused frame+plan graph) — set "
+                "planner.backend='tpu'"
+            )
 
     def _prepare_int8(self, variables, n_calib: int = 4):
         """Back-compat shim → :func:`_calibrate_int8` (shared with the
@@ -319,6 +364,13 @@ class Engine:
             jax.block_until_ready(hb)
             plan = self._serve_step_plan(self.params, _packed())
             jax.block_until_ready(plan)
+            if self.cfg.tracker.enabled:
+                # tracked variant compiles against a throwaway state buffer
+                # (donated arg — the real per-run state is built by run())
+                plan, tr = self._serve_step_track_plan(
+                    self.params, _packed(), self._init_tracks()
+                )
+                jax.block_until_ready(tr)
             # the plan_every=None path dispatches the STANDALONE plan graph
             # (planner.api.dispatch_plan_device) at sync points — a separate
             # jit cache from the fused _serve_step_plan above, so warm it too
@@ -393,6 +445,14 @@ class Engine:
         serve_fn = (
             self._serve_step_scene if self._plan_on_device_mode else self._serve_step_packed
         )
+        tracked = self.cfg.tracker.enabled and plan_paths
+        if tracked:
+            if plan_every is None:
+                raise ValueError(
+                    "tracker.enabled plans in-stream: pass plan_every "
+                    "(the tracker steps once per planning dispatch)"
+                )
+            self._tracks_d = self._init_tracks()  # fresh bank per run
         n_done = 0
         out_d = None
         t_batch = time.perf_counter()
@@ -425,7 +485,12 @@ class Engine:
                 and n_done % plan_every == 0
             )
             if plan_frame and self._plan_on_device_mode:
-                out_d = self._serve_step_plan(self.params, item)
+                if tracked:
+                    out_d, self._tracks_d = self._serve_step_track_plan(
+                        self.params, item, self._tracks_d
+                    )
+                else:
+                    out_d = self._serve_step_plan(self.params, item)
             else:
                 out_d = serve_fn(self.params, item)
             if max_inflight is not None:

@@ -322,6 +322,55 @@ class TestDomainRandomizedCheckpoint:
         ious = [box_iou(gt, b) for b in boxes[classes == 1]]
         assert ious and max(ious) >= 0.3, (ious, "robot not found")
 
+    def test_red_robot_top_detection_is_the_robot(self, engines):
+        """Score-ordering gate (round-4 v2 hard-negative fine-tune): on
+        red_robot.png the TOP-scoring detection must be class 1 (red robot)
+        and overlap the labeled box, and no other-class false positive may
+        reach deployment confidence (0.75).  The pre-fine-tune campaign
+        checkpoint failed exactly this — it ranked a hallucinated ball in
+        the spectator crowd at 0.945 ABOVE the robot (0.749), because the
+        v1 training clutter was always desaturated and saturation alone
+        separated the classes (train/domainrand.py v2 docstring)."""
+        if not FIXTURES.exists():
+            pytest.skip("reference fixtures unavailable")
+        import json
+
+        from tod_tpu.core.types import Frame
+        from tod_tpu.train.evaluate import box_iou
+        from tod_tpu.utils.image_io import load_image
+
+        eng, _ = engines
+        root = pathlib.Path(__file__).parent / "fixtures/real"
+        spec = json.loads((root / "annotations.json").read_text())
+        rec = [r for r in spec["images"] if "red_robot" in r["file"]][0]
+        raw = load_image(rec["file"])
+        ih, iw = raw.shape[:2]
+        ys = (np.arange(self.HW[0]) * ih / self.HW[0]).astype(int)
+        xs = (np.arange(self.HW[1]) * iw / self.HW[1]).astype(int)
+        img = raw[ys][:, xs]
+        ramp = np.linspace(3500, 600, self.HW[0]).astype(np.uint16)
+        depth = np.broadcast_to(ramp[:, None], self.HW).copy()
+        _, dets = eng.process(Frame(rgb=img, depth=depth))
+        valid = np.asarray(dets.valid)
+        boxes = np.asarray(dets.boxes)[valid]
+        classes = np.asarray(dets.classes)[valid]
+        scores = np.asarray(dets.scores)[valid]
+        order = np.argsort(-scores)
+        y1, x1, y2, x2 = rec["objects"][0]["bbox"]
+        gt = [y1 / ih, x1 / iw, y2 / ih, x2 / iw]
+        top = order[0]
+        assert classes[top] == 1, (
+            f"top detection is cls={classes[top]} score={scores[top]:.3f}, "
+            "not the red robot"
+        )
+        assert box_iou(gt, boxes[top]) >= 0.3
+        fp_conf = scores[(classes != 1) & (scores >= 0.75)]
+        assert fp_conf.size == 0, (
+            f"{fp_conf.size} non-robot detections at deployment confidence "
+            f"(max {fp_conf.max() if fp_conf.size else 0:.3f}) — crowd "
+            "hallucinations are back"
+        )
+
     def test_cross_domain_sim_map(self, engines):
         """mAP on sim-renderer scenes (a generator the trainer never saw):
         detection, not memorization of one distribution."""

@@ -156,6 +156,48 @@ class TestClosedLoop:
         for color in ((230, 200, 30), (220, 60, 60), (40, 150, 60)):
             assert (img == np.array(color, np.uint8)).all(-1).any(), color
 
+    def test_tracker_coasts_through_detector_blackout(self):
+        """Temporal tracking vs raw per-tick seeding under a mid-drive
+        detector outage (tod_tpu/track; the sim analog of --track serving).
+
+        A laterally rolling ball and a 6-tick measurement blackout starting
+        at tick 2.  Raw seeding loses the plan immediately (the reference's
+        per-frame Scene.balls seeding, src/path.rs:37-49) and falls back on
+        the follower's blind/search heuristics; the tracked run keeps
+        planning through the first coasting ticks (velocity-extrapolated
+        seed, ego-motion compensated from the commanded maneuver) and
+        reaches the ball measurably sooner.  Deterministic: seeded world,
+        seeded renderer."""
+        from tod_tpu.core.config import CameraConfig, TrackerConfig
+
+        cam = CameraConfig(width=160, height=120)
+        pcfg = PlannerConfig(
+            signed_turns=True, start_offset=cam.width // 2, backend="numpy"
+        )
+        blackout = (2, 8)
+
+        def run(tk):
+            return run_closed_loop(
+                SimWorld(balls=[Ball(-900.0, 3000.0, vx=130.0)]),
+                cam, pcfg=pcfg, ticks=40, tracker=tk,
+                measurement_blackout=blackout,
+            )
+
+        untracked = run(None)
+        tracked = run(TrackerConfig(enabled=True, max_misses=12))
+        assert tracked["reached"], tracked
+        assert untracked["reached"]  # the fallbacks do recover, eventually
+        # the tracked run reaches the ball sooner
+        assert tracked["ticks_used"] < untracked["ticks_used"], (
+            tracked["ticks_used"], untracked["ticks_used"],
+        )
+        # and it is still PLANNING in the first coasting ticks of the
+        # blackout, where raw seeding has already gone blind
+        t_dirs = [r.n_dirs for r in tracked["log"]]
+        u_dirs = [r.n_dirs for r in untracked["log"]]
+        assert t_dirs[2] > 0 and t_dirs[3] > 0, t_dirs
+        assert u_dirs[2] == 0, u_dirs
+
     def test_occluded_ball_is_not_hallucinated(self):
         """A ball fully hidden behind a robot box yields no plan — the agent
         searches instead of driving into the obstacle."""

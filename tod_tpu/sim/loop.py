@@ -58,11 +58,20 @@ def run_closed_loop(
     follower: DirectionFollower | None = None,
     path_store=None,
     log_fn=None,
+    tracker=None,
+    measurement_blackout: tuple[int, int] | None = None,
 ) -> dict:
     """Drive the agent until it reaches the nearest ball or ticks run out.
 
     Returns metrics: ``reached`` (bool), ``ticks_used``, ``final_ball_mm``,
     ``min_obstacle_clearance_mm``, and the per-tick ``log``.
+
+    ``tracker`` (a ``TrackerConfig``) routes the planner seeds through the
+    temporal Kalman track bank (tod_tpu/track) instead of the raw per-tick
+    centroids — the sim analog of the Engine's ``--track`` serving mode.
+    ``measurement_blackout=(t0, t1)`` zeroes the ball measurements for ticks
+    t0 ≤ t < t1 (a detector dropout / full occlusion window), applied BEFORE
+    the tracker so both seeding modes face the same outage.
     """
     # sim default: planner start co-located with the camera center column
     # (the reference's fixed W−240 column is an artifact of its 640-wide
@@ -78,6 +87,12 @@ def run_closed_loop(
             raise ValueError("perception='model' needs an Engine")
     elif perception != "oracle":
         raise ValueError(f"unknown perception {perception!r}")
+
+    tracks = None
+    if tracker is not None:
+        from tod_tpu.track import init_tracks
+
+        tracks = init_tracks(tracker)
 
     log: list[TickLog] = []
     min_clear = world.obstacle_clearance()
@@ -95,6 +110,27 @@ def run_closed_loop(
             scene = fuse_scene(frame.depth, cls, ids, cam, geom)
             height = np.asarray(scene.height, np.float32)
             balls = np.asarray(scene.balls, np.float32)
+
+        if measurement_blackout is not None and (
+            measurement_blackout[0] <= t < measurement_blackout[1]
+        ):
+            balls = np.zeros_like(balls)  # detector outage / full occlusion
+        if tracker is not None:
+            from tod_tpu.track import shift_tracks, track_update, tracks_to_balls
+
+            if log:  # ego-motion compensation from the previous command
+                # (the sim's odometry: one tick = a whole commanded maneuver;
+                # the birdseye frame is camera-relative, so the commanded
+                # yaw/advance translate every track — shift math in
+                # track.tracker.shift_tracks)
+                prev = log[-1]
+                d_col = -prev.turn * cam.width / (2.0 * math.tan(cam.x_fov / 2.0))
+                d_row = prev.advance_mm * cam.height / cam.max_depth_mm
+                tracks = shift_tracks(tracks, d_col, d_row)
+            tracks = track_update(tracks, balls, tracker)
+            balls = np.asarray(
+                tracks_to_balls(tracks, tracker, balls.shape[0]), np.float32
+            )
 
         from tod_tpu.planner.api import plan_from_height
 

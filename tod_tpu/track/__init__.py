@@ -3,6 +3,7 @@
 from tod_tpu.track.tracker import (
     TrackerConfig,
     init_tracks,
+    shift_tracks,
     track_update,
     track_update_oracle,
     tracks_to_balls,
@@ -11,6 +12,7 @@ from tod_tpu.track.tracker import (
 __all__ = [
     "TrackerConfig",
     "init_tracks",
+    "shift_tracks",
     "track_update",
     "track_update_oracle",
     "tracks_to_balls",

@@ -214,6 +214,24 @@ def tracks_to_balls(tracks, cfg: TrackerConfig, max_balls: int):
     return jnp.pad(slots, ((0, pad), (0, 0)))
 
 
+def shift_tracks(tracks, dx, dy):
+    """Ego-motion compensation: translate every track position by
+    ``(dx, dy)`` grid cells (velocities/covariances unchanged).
+
+    The track bank lives in the camera-relative birdseye frame, so the
+    robot's own motion moves every track.  At serving rates (30 FPS) the
+    per-frame ego-motion is a few cells and the association gate absorbs it;
+    consumers with coarse update intervals and known odometry (the sim's
+    control ticks command whole (turn, advance) maneuvers) apply the
+    commanded motion here before ``track_update``.  Column shift for a yaw
+    of θ is ≈ ``−θ · W / (2·tan(x_fov/2))`` (the birdseye x axis is pixel-
+    projective, geometry/fusion.birdseye_project); row shift for an advance
+    of ``a`` mm is ``+a · H / max_depth_mm`` (objects get closer → larger
+    birdseye row).
+    """
+    return tracks.at[:, X].add(dx).at[:, Y].add(dy)
+
+
 # --------------------------------------------------------------------------
 # NumPy oracle (sequential, readable) — the test reference implementation.
 # --------------------------------------------------------------------------

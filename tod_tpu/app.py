@@ -70,6 +70,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(requires the device planner; forces --planner tpu)",
     )
     p.add_argument(
+        "--obstacle-memory", type=float, default=0.0, metavar="DECAY",
+        help="decaying robot-obstacle memory (requires --track): the planner "
+        "height keeps max(fresh occupancy, DECAY^k remembered robot bumps) "
+        "so a robot whose detection flickers off keeps repelling the path; "
+        "0 disables, 0.8 bridges ~10 dispatches",
+    )
+    p.add_argument(
         "--max-inflight", type=int, default=2, metavar="N",
         help="bound the dispatch queue to N frames (fresh-path latency mode; "
         "0 = unbounded peak-throughput mode)",
@@ -124,7 +131,9 @@ def main(argv=None) -> int:
             signed_turns=args.signed_turns,
             start_offset=args.start_offset,
         ),
-        tracker=TrackerConfig(enabled=args.track),
+        tracker=TrackerConfig(
+            enabled=args.track, obstacle_memory=args.obstacle_memory
+        ),
         server=ServerConfig(
             host=args.host,
             port=args.port,

@@ -215,6 +215,20 @@ class TrackerConfig:
     # measurement validity: minimum centroid pixel count (mirrors the
     # planner's seed gate, PlannerConfig.min_ball_pixels)
     min_pixels: float = 3.0
+    # Decaying obstacle memory (the robot-obstacle counterpart of ball
+    # coasting): per-dispatch decay factor for an HBM-resident copy of the
+    # robot bump layer (geometry.fusion.robot_occupancy).  The planner's
+    # height is max(fresh occupancy, decay^k · remembered robot bumps), so a
+    # robot whose detection flickers off keeps repelling the path for
+    # ~log(err/100)/log(decay) dispatches instead of vanishing for one frame
+    # (the reference rebuilds the map from scratch every frame,
+    # pt_cloud.comp:108-114 — one missed detection and the planner routes
+    # through the robot).  0 disables; 0.8 keeps a vanished bump above the
+    # 10-unit terrain scale for ~10 dispatches.  Ego-motion caveat mirrors
+    # the track bank's (track/tracker.shift_tracks): the memory lives in the
+    # camera-relative birdseye frame and decays within ~1/(1−decay)
+    # dispatches, so at serving rates the smear is a few cells.
+    obstacle_memory: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -311,4 +325,13 @@ def validate(cfg: PipelineConfig) -> Sequence[str]:
             )
         if cfg.tracker.min_hits < 1 or cfg.tracker.max_misses < 0:
             problems.append("tracker.min_hits must be >= 1, max_misses >= 0")
+    if not (0.0 <= cfg.tracker.obstacle_memory < 1.0):
+        problems.append(
+            "tracker.obstacle_memory must be in [0, 1) (a per-dispatch decay)"
+        )
+    if cfg.tracker.obstacle_memory > 0.0 and not cfg.tracker.enabled:
+        problems.append(
+            "tracker.obstacle_memory requires tracker.enabled (the memory "
+            "lives in the tracked serving graph's HBM state)"
+        )
     return problems

@@ -5,4 +5,5 @@ from tod_tpu.geometry.fusion import (  # noqa: F401
     depth_correction_factors,
     fuse_scene,
     occupancy_map,
+    robot_occupancy,
 )

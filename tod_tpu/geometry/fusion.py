@@ -172,6 +172,63 @@ def _dilate_const_separable(peaks_ext, bump_size: int, val: float, bump_err: flo
     return jnp.where(d2 < far * 0.5, jnp.maximum(g, 0.0), 0.0)
 
 
+# The peak scatter-max is computed DENSELY: ``bird_x`` is always the
+# source column (birdseye_project), so each update lands in its own
+# column and the scatter is a max-by-target-row — expressible as a
+# broadcast compare-select feeding a max-reduce, which XLA fuses into
+# one VPU pass.  A true ``.at[yy, xx].max`` scatter lowers on XLA:TPU
+# as a serialized per-update loop: 0.67 ms PER scatter for the 76.8k
+# QVGA updates (device trace, docs/performance.md) vs ~0.05 ms fused —
+# the single largest cost in the serve step before this rewrite.
+# Out-of-range rows never match any target row, reproducing the
+# discarded-OOB-write semantics of the previous mode="drop" scatter.
+def _scatter_peaks(bird_y, src_mask, values, pad):
+    h, w = src_mask.shape
+    ext_h = h + 2 * pad
+    vals = jnp.where(src_mask, values, 0.0)
+    yt = jnp.arange(ext_h, dtype=jnp.int32)[:, None, None]  # (ext_h, 1, 1)
+    hit = (bird_y + pad)[None, :, :] == yt  # (ext_h, h, w), fused
+    col = jnp.max(jnp.where(hit, vals[None, :, :], 0.0), axis=1)
+    return jnp.pad(col, ((0, 0), (pad, pad)))
+
+
+def _border_interior(h, w):
+    """Strict-interior mask: the shader never writes the border ring
+    (0 < loc < dim-1, pt_cloud.comp:67)."""
+    return (
+        (jnp.arange(h)[:, None] > 0)
+        & (jnp.arange(h)[:, None] < h - 1)
+        & (jnp.arange(w)[None, :] > 0)
+        & (jnp.arange(w)[None, :] < w - 1)
+    )
+
+
+def robot_occupancy(depth_mm, cls_map, cam: CameraConfig, geom: GeometryConfig):
+    """The ROBOT component of :func:`occupancy_map` alone: robot pixels
+    (classes 1, 2) bumping ``bot_avoidance_const`` with radius
+    ``bot_norm_const`` (pt_cloud.comp:108-114), border-masked.
+
+    ``occupancy_map == max(terrain component, robot component)`` exactly
+    (gated in tests/test_obstacle_memory.py) — this is the layer the serving
+    engine's decaying obstacle memory persists across dispatches so a robot
+    whose detection flickers off for a few frames keeps repelling the
+    planner (TrackerConfig.obstacle_memory).
+    """
+    h, w = depth_mm.shape
+    bird_y, _, _ = birdseye_project(depth_mm, cam)
+    pad_b = geom.bot_norm_const
+    robot_peaks = _scatter_peaks(
+        bird_y,
+        (cls_map == 1) | (cls_map == 2),
+        jnp.full((h, w), geom.bot_avoidance_const, jnp.float32),
+        pad_b,
+    )
+    robots = _dilate_const_separable(
+        robot_peaks, pad_b, geom.bot_avoidance_const, geom.bump_err, (h, w)
+    )
+    return jnp.where(_border_interior(h, w), robots, 0.0)
+
+
 def occupancy_map(
     depth_mm,
     cls_map,
@@ -191,31 +248,11 @@ def occupancy_map(
     bird_y, bird_x, _ = birdseye_project(depth_mm, cam)
     rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
 
-    # Interior-only writes: the shader's bounds check is strict
-    # (0 < loc < dim-1, pt_cloud.comp:67) — exclude the outermost ring.
-    #
-    # The peak scatter-max is computed DENSELY: ``bird_x`` is always the
-    # source column (birdseye_project), so each update lands in its own
-    # column and the scatter is a per-column max by target row — expressible
-    # as a broadcast compare-select feeding a max-reduce, which XLA fuses
-    # into one VPU pass.  A true ``.at[yy, xx].max`` scatter lowers on
-    # XLA:TPU as a serialized per-update loop: 0.67 ms PER scatter for the
-    # 76.8k QVGA updates (device trace, docs/performance.md) vs ~0.05 ms
-    # fused — the single largest cost in the serve step before this rewrite.
-    # Out-of-range rows never match any target row, reproducing the
-    # discarded-OOB-write semantics of the previous mode="drop" scatter.
-    def scatter_peaks(src_mask, values, pad):
-        ext_h = h + 2 * pad
-        vals = jnp.where(src_mask, values, 0.0)
-        yt = jnp.arange(ext_h, dtype=jnp.int32)[:, None, None]  # (ext_h, 1, 1)
-        hit = (bird_y + pad)[None, :, :] == yt  # (ext_h, h, w), fused
-        col = jnp.max(jnp.where(hit, vals[None, :, :], 0.0), axis=1)
-        return jnp.pad(col, ((0, 0), (pad, pad)))
-
     pad_t = geom.terrain_norm_const
     pad_b = geom.bot_norm_const
-    terrain_peaks = scatter_peaks(cls_map == 0, rows, pad_t)
-    robot_peaks = scatter_peaks(
+    terrain_peaks = _scatter_peaks(bird_y, cls_map == 0, rows, pad_t)
+    robot_peaks = _scatter_peaks(
+        bird_y,
         (cls_map == 1) | (cls_map == 2),
         jnp.full((h, w), geom.bot_avoidance_const, jnp.float32),
         pad_b,
@@ -243,14 +280,7 @@ def occupancy_map(
         robot_peaks, pad_b, geom.bot_avoidance_const, geom.bump_err, (h, w)
     )
     out = jnp.maximum(terrain, robots)
-    # strict-interior mask: the shader never writes the border ring
-    border = (
-        (jnp.arange(h)[:, None] > 0)
-        & (jnp.arange(h)[:, None] < h - 1)
-        & (jnp.arange(w)[None, :] > 0)
-        & (jnp.arange(w)[None, :] < w - 1)
-    )
-    return jnp.where(border, out, 0.0)
+    return jnp.where(_border_interior(h, w), out, 0.0)
 
 
 def ball_centroids(depth_mm, cls_map, id_map, cam: CameraConfig, geom: GeometryConfig):

@@ -261,6 +261,7 @@ class Engine:
         # max_misses updates.  Same plan-buffer readback; zero extra host
         # round trips.
         tkcfg = self.cfg.tracker
+        self._obstacle_mem_mode = tkcfg.enabled and tkcfg.obstacle_memory > 0.0
         if tkcfg.enabled:
             from tod_tpu.track import init_tracks, track_update, tracks_to_balls
 
@@ -288,7 +289,56 @@ class Engine:
                 _serve_step_track_plan, donate_argnums=(2,)
             )
             self._init_tracks = lambda: jax.device_put(init_tracks(tkcfg))
+
+        if self._obstacle_mem_mode:
+            # Obstacle-memory variant (TrackerConfig.obstacle_memory): the
+            # robot-obstacle counterpart of ball coasting.  A second
+            # HBM-resident state array — the decayed max of past robot bump
+            # layers (geometry.fusion.robot_occupancy) — rides the same
+            # dispatch (donated in place, like the track bank), and the
+            # planner's height is max(fresh occupancy, remembered bumps): a
+            # robot whose detection flickers off for a few frames keeps
+            # repelling the path instead of vanishing (the reference rebuilds
+            # the map from scratch every frame, pt_cloud.comp:108-114).  The
+            # fresh robot layer duplicates ~0.1 ms of the separable dilation
+            # already inside fuse_scene (XLA CSEs the shared subgraph when it
+            # can); the ball path and track update are untouched.
+            from tod_tpu.geometry.fusion import robot_occupancy
+            from tod_tpu.track import track_update, tracks_to_balls
+
+            decay = jnp.float32(tkcfg.obstacle_memory)
+
+            def _serve_step_track_plan_mem(p, packed, tracks, mem):
+                rgb = packed[:n_rgb].reshape(*cam_hw, 3)
+                depth = jax.lax.bitcast_convert_type(
+                    packed[n_rgb:].reshape(*cam_hw, 2), jnp.uint16
+                )
+                scene, dets = _step(p, rgb, depth)
+                robots = robot_occupancy(depth, dets.class_map, cam, geom)
+                new_mem = jnp.maximum(robots, mem * decay)
+                height = jnp.maximum(scene.height.astype(jnp.float32), new_mem)
+                new_tracks = track_update(tracks, scene.balls, tkcfg)
+                seeds = tracks_to_balls(new_tracks, tkcfg, geom.max_balls)
+                plan = plan_on_device(
+                    height,
+                    seeds,
+                    start_yx,
+                    max_seeds=pcfg.max_seed_balls,
+                    min_pixels=pcfg.min_ball_pixels,
+                    max_steps=pcfg.max_path_steps,
+                    max_iters=pcfg.tpu_max_iters,
+                    signed=pcfg.signed_turns,
+                )
+                return plan, new_tracks, new_mem
+
+            self._serve_step_track_plan_mem = jax.jit(
+                _serve_step_track_plan_mem, donate_argnums=(2, 3)
+            )
+            self._init_obstacle_mem = lambda: jax.device_put(
+                jnp.zeros(cam_hw, jnp.float32)
+            )
         self._tracks_d = None  # per-run Kalman state (tracker mode)
+        self._mem_d = None  # per-run obstacle memory (obstacle_memory > 0)
 
         # "auto" resolves to device planning when serving on a real TPU: it
         # frees the single streaming core AND shrinks the per-plan readback
@@ -367,9 +417,16 @@ class Engine:
             if self.cfg.tracker.enabled:
                 # tracked variant compiles against a throwaway state buffer
                 # (donated arg — the real per-run state is built by run())
-                plan, tr = self._serve_step_track_plan(
-                    self.params, _packed(), self._init_tracks()
-                )
+                if self._obstacle_mem_mode:
+                    plan, tr, mem = self._serve_step_track_plan_mem(
+                        self.params, _packed(), self._init_tracks(),
+                        self._init_obstacle_mem(),
+                    )
+                    jax.block_until_ready(mem)
+                else:
+                    plan, tr = self._serve_step_track_plan(
+                        self.params, _packed(), self._init_tracks()
+                    )
                 jax.block_until_ready(tr)
             # the plan_every=None path dispatches the STANDALONE plan graph
             # (planner.api.dispatch_plan_device) at sync points — a separate
@@ -453,6 +510,8 @@ class Engine:
                     "(the tracker steps once per planning dispatch)"
                 )
             self._tracks_d = self._init_tracks()  # fresh bank per run
+            if self._obstacle_mem_mode:
+                self._mem_d = self._init_obstacle_mem()  # fresh memory per run
         n_done = 0
         out_d = None
         t_batch = time.perf_counter()
@@ -485,7 +544,13 @@ class Engine:
                 and n_done % plan_every == 0
             )
             if plan_frame and self._plan_on_device_mode:
-                if tracked:
+                if tracked and self._obstacle_mem_mode:
+                    out_d, self._tracks_d, self._mem_d = (
+                        self._serve_step_track_plan_mem(
+                            self.params, item, self._tracks_d, self._mem_d
+                        )
+                    )
+                elif tracked:
                     out_d, self._tracks_d = self._serve_step_track_plan(
                         self.params, item, self._tracks_d
                     )

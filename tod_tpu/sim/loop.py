@@ -46,6 +46,22 @@ class TickLog:
     n_dirs: int
 
 
+def _shift_map(mem: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Integer-cell translate with zero fill: the (H, W) map counterpart of
+    ``track.tracker.shift_tracks`` for ego-motion-compensating the obstacle
+    memory.  Rounding to whole cells is fine — the memory decays within
+    ~1/(1−decay) ticks, so sub-cell drift never accumulates."""
+    h, w = mem.shape
+    dyi, dxi = int(round(dy)), int(round(dx))
+    if abs(dyi) >= h or abs(dxi) >= w:
+        return np.zeros_like(mem)
+    out = np.zeros_like(mem)
+    out[
+        max(dyi, 0) : h + min(dyi, 0), max(dxi, 0) : w + min(dxi, 0)
+    ] = mem[max(-dyi, 0) : h + min(-dyi, 0), max(-dxi, 0) : w + min(-dxi, 0)]
+    return out
+
+
 def run_closed_loop(
     world: SimWorld,
     cam: CameraConfig,
@@ -60,6 +76,8 @@ def run_closed_loop(
     log_fn=None,
     tracker=None,
     measurement_blackout: tuple[int, int] | None = None,
+    obstacle_blackout: tuple[int, int] | None = None,
+    obstacle_memory: float = 0.0,
 ) -> dict:
     """Drive the agent until it reaches the nearest ball or ticks run out.
 
@@ -72,6 +90,15 @@ def run_closed_loop(
     ``measurement_blackout=(t0, t1)`` zeroes the ball measurements for ticks
     t0 ≤ t < t1 (a detector dropout / full occlusion window), applied BEFORE
     the tracker so both seeding modes face the same outage.
+
+    ``obstacle_blackout=(t0, t1)`` erases the ROBOT classes from the oracle
+    annotation for those ticks (the detector missing the robot), and
+    ``obstacle_memory=d > 0`` enables the sim analog of the Engine's
+    ``--obstacle-memory`` mode: a decayed max of past robot bump layers
+    (geometry.fusion.robot_occupancy), ego-motion-shifted by the commanded
+    maneuver each tick (the map counterpart of ``shift_tracks``), max-fused
+    into the planning height.  Oracle perception only (the model path's
+    detections cannot be selectively erased host-side).
     """
     # sim default: planner start co-located with the camera center column
     # (the reference's fixed W−240 column is an artifact of its 640-wide
@@ -85,14 +112,22 @@ def run_closed_loop(
     if perception == "model":
         if engine is None:
             raise ValueError("perception='model' needs an Engine")
+        if obstacle_blackout is not None or obstacle_memory > 0.0:
+            raise ValueError(
+                "obstacle_blackout/obstacle_memory are oracle-perception sim "
+                "controls (the Engine has its own --obstacle-memory mode)"
+            )
     elif perception != "oracle":
         raise ValueError(f"unknown perception {perception!r}")
+    if not (0.0 <= obstacle_memory < 1.0):
+        raise ValueError("obstacle_memory must be in [0, 1)")
 
     tracks = None
     if tracker is not None:
         from tod_tpu.track import init_tracks
 
         tracks = init_tracks(tracker)
+    obstacle_mem = None  # (H, W) f32 decayed robot-bump memory
 
     log: list[TickLog] = []
     min_clear = world.obstacle_clearance()
@@ -105,11 +140,41 @@ def run_closed_loop(
             balls = np.asarray(scene.balls, np.float32)
         else:
             frame, cls, ids = render(world, cam, seed=t, annotate=True)
+            if obstacle_blackout is not None and (
+                obstacle_blackout[0] <= t < obstacle_blackout[1]
+            ):
+                # the detector misses the robot: erase robot classes to the
+                # no-bump ball class (ids stay −1 there, so ball centroids
+                # are untouched — gated exact in test_obstacle_memory.py)
+                cls = np.where((cls == 1) | (cls == 2), 3, cls).astype(np.uint8)
             from tod_tpu.geometry.fusion import fuse_scene
 
             scene = fuse_scene(frame.depth, cls, ids, cam, geom)
             height = np.asarray(scene.height, np.float32)
             balls = np.asarray(scene.balls, np.float32)
+
+        # ego-motion of the camera-relative birdseye frame from the PREVIOUS
+        # commanded maneuver (the sim's odometry) — shared by the track bank
+        # and the obstacle memory
+        d_col = d_row = 0.0
+        if log:
+            prev = log[-1]
+            d_col = -prev.turn * cam.width / (2.0 * math.tan(cam.x_fov / 2.0))
+            d_row = prev.advance_mm * cam.height / cam.max_depth_mm
+
+        if obstacle_memory > 0.0:
+            from tod_tpu.geometry.fusion import robot_occupancy
+
+            fresh = np.asarray(
+                robot_occupancy(frame.depth, cls, cam, geom), np.float32
+            )
+            if obstacle_mem is None:
+                obstacle_mem = fresh
+            else:
+                if log:  # the map counterpart of shift_tracks
+                    obstacle_mem = _shift_map(obstacle_mem, d_col, d_row)
+                obstacle_mem = np.maximum(fresh, obstacle_mem * obstacle_memory)
+            height = np.maximum(height, obstacle_mem)
 
         if measurement_blackout is not None and (
             measurement_blackout[0] <= t < measurement_blackout[1]
@@ -119,13 +184,8 @@ def run_closed_loop(
             from tod_tpu.track import shift_tracks, track_update, tracks_to_balls
 
             if log:  # ego-motion compensation from the previous command
-                # (the sim's odometry: one tick = a whole commanded maneuver;
-                # the birdseye frame is camera-relative, so the commanded
-                # yaw/advance translate every track — shift math in
+                # (one tick = a whole commanded maneuver; shift math in
                 # track.tracker.shift_tracks)
-                prev = log[-1]
-                d_col = -prev.turn * cam.width / (2.0 * math.tan(cam.x_fov / 2.0))
-                d_row = prev.advance_mm * cam.height / cam.max_depth_mm
                 tracks = shift_tracks(tracks, d_col, d_row)
             tracks = track_update(tracks, balls, tracker)
             balls = np.asarray(

@@ -46,6 +46,62 @@ class TestApp:
         assert metrics["n_frames"] == 2
         assert "stage1_device" in metrics
 
+    def test_track_rejects_conflicting_planner(self):
+        """--track --planner numpy must be rejected loudly, not silently
+        rewritten to the TPU planner (VERDICT r4 weak #7)."""
+        import pytest
+
+        with pytest.raises(SystemExit, match="--planner numpy"):
+            main(
+                [
+                    "--source", "synthetic", "--frames", "1",
+                    "--track", "--planner", "numpy", "--no-server",
+                ]
+            )
+
+    def test_todx_boots_and_serves_production_loop(self, capsys, tmp_path):
+        """`python -m tod_tpu.app --todx art.todx` runs the PRODUCTION loop
+        (run_supervised + the full serve/server.py) from a frozen artifact —
+        the one-boot-path requirement of VERDICT r4 item 1.  On CPU the
+        artifact loads via the portable StableHLO payload (boot == "jit");
+        the AOT fast path is exercised by bench.py on the real chip."""
+        import json
+
+        from tests.test_deploy import tiny_cfg, _packed_frame  # tiny model
+        from tod_tpu import deploy
+        from tod_tpu.runtime import Engine
+
+        engine = Engine(tiny_cfg("tpu"), mode="detect", seed=7)
+        exported, meta = deploy.export_engine(engine, mode="plan")
+        p = tmp_path / "tiny.todx"
+        deploy.save_artifact(exported, meta, str(p))
+
+        rc = main(
+            [
+                "--todx", str(p),
+                "--source", "synthetic",
+                "--frames", "3",
+                "--port", "0",
+                "--plan-every", "1",
+                "--metrics-json",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        metrics = json.loads(out)
+        assert metrics["n_frames"] == 3
+        assert metrics["plans_done"] >= 1
+        assert metrics["last_path_len"] >= 0
+        assert metrics["boot"] in ("aot", "jit")
+        assert metrics["restarts"] == 0
+
+    def test_todx_rejects_engine_only_flags(self, tmp_path):
+        import pytest
+
+        (tmp_path / "x.todx").write_bytes(b"TODX1\n")  # never loaded
+        with pytest.raises(SystemExit, match="--track"):
+            main(["--todx", str(tmp_path / "x.todx"), "--track", "--planner", "tpu"])
+
     def test_png_source_uses_reference_fixture(self, capsys):
         rc = main(
             [

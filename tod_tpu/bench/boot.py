@@ -86,8 +86,13 @@ def main(argv=None) -> int:
     if args.todx:
         from tod_tpu.deploy import ServingArtifact
 
-        art = ServingArtifact.load(args.todx)
+        art = ServingArtifact.load(args.todx, probe_rtt=True)
         stage("artifact_load")
+        # sub-stage attribution of the load (pickle / deserialize_and_load /
+        # probe_exec, with before/after transport RTT stamps): the round-4
+        # artifact couldn't say whether a slow AOT boot was program load or
+        # tunnel weather (VERDICT r4 items 1b/3)
+        stages["artifact_load_stages"] = art.load_stages
         path = art.plan(packed)
         stage("first_plan")
         boot = "todx-" + art.boot
@@ -111,8 +116,9 @@ def main(argv=None) -> int:
             from tod_tpu.train.checkpoint import load_checkpoint
 
             params = load_checkpoint(ckpt)
+        stage("checkpoint_load")
         engine = Engine(cfg, params=params, mode="detect")
-        stage("checkpoint_and_engine")
+        stage("engine_build")
         # the plan-serving loop needs exactly one graph: the fused frame+plan
         # step.  Compile it by running the first real frame through it.
         path = materialize_path(engine._serve_step_plan(engine.params, packed))

@@ -16,6 +16,7 @@ Every function returns one JSON-able dict with ``metric``/``value``/``unit``
 
 from __future__ import annotations
 
+import dataclasses
 import pathlib
 import time
 
@@ -174,7 +175,7 @@ def config4_rgbd_fusion_batch8() -> dict:
         "value": round(ms, 3),
         "unit": "ms",
         "frames_per_s": round(b * 1000.0 / ms, 1),
-        "pallas": use_pallas,
+        "pallas": False,  # fuse_scene_batch vmaps the jnp forms only (r3 weak #5)
         "backend": "tpu" if _on_tpu() else "cpu",
     }
 
@@ -613,10 +614,74 @@ def config17_latency_bounded_vga() -> dict:
     return _latency_bounded_serving((480, 640))
 
 
+def _bounded_point(
+    eng, cfg, mi, n_frames: int, rtt_ref_ms: float | None,
+    plan_every: int = 4, max_attempts: int = 3,
+) -> dict:
+    """One latency-bounded serving measurement with the ACCEPT-OR-RETRY
+    weather protocol (VERDICT r4 item 3 / weak #2): a point is retried — not
+    recorded — when its own paired-RTT evidence says the transport was sick
+    while it ran.  Acceptance criteria per attempt:
+
+    - paired RTT p50 ≤ 1.5 × ``rtt_ref_ms`` (the best transport median
+      observed this sweep: min of the pre-sweep probe and every accepted
+      point), and
+    - RTT-correction saturations ≤ 10% of latency samples.
+
+    After ``max_attempts`` the best attempt (lowest paired RTT p50) is kept
+    and marked ``weather_flagged: True`` — recorded weather problems are
+    explicit, never silent.
+    """
+    from tod_tpu.runtime import SyntheticSource
+
+    attempts = []
+    for attempt in range(max_attempts):
+        eng.timer.reset()
+        source = SyntheticSource(cfg.camera, seed=0, n_frames=n_frames)
+        m = eng.run(
+            source, plan_paths=True, warmup=False, max_inflight=mi,
+            plan_every=plan_every, probe_rtt=True,
+        )
+        lat = eng.timer.stats("latency")
+        free = eng.timer.stats("latency_rtt_free")
+        rtt = eng.timer.stats("rtt")
+        point = {
+            "max_inflight": mi,
+            "fps": round(m["fps"], 2),
+            "p50_ms": round(lat["p50_ms"], 2) if lat.get("p50_ms") else None,
+            "p99_ms": round(lat["p99_ms"], 2) if lat.get("p99_ms") else None,
+            "p50_rtt_free_ms": (
+                round(free["p50_ms"], 2) if free.get("n") else None
+            ),
+            "rtt_p50_ms": round(rtt["p50_ms"], 2) if rtt.get("n") else None,
+            "rtt_spread_ms": (
+                [round(rtt[k], 2) for k in ("min_ms", "p50_ms", "max_ms")]
+                if rtt.get("n")
+                else None
+            ),
+            "rtt_saturated": m.get("rtt_saturated", 0),
+            "plan_p50_ms": eng.timer.stats("plan").get("p50_ms"),
+            "retries": attempt,
+        }
+        n_lat = lat.get("n") or 0
+        sat_ok = n_lat == 0 or point["rtt_saturated"] <= 0.10 * n_lat
+        rtt_ok = (
+            rtt_ref_ms is None
+            or point["rtt_p50_ms"] is None
+            or point["rtt_p50_ms"] <= 1.5 * rtt_ref_ms
+        )
+        if sat_ok and rtt_ok:
+            return point
+        attempts.append(point)
+    best = min(attempts, key=lambda p: p["rtt_p50_ms"] or float("inf"))
+    best["weather_flagged"] = True
+    return best
+
+
 def _latency_bounded_serving(hw: tuple[int, int]) -> dict:
     import jax
 
-    from tod_tpu.runtime import Engine, SyntheticSource
+    from tod_tpu.runtime import Engine
 
     cfg = _pipeline_cfg(hw)
     on_tpu = _on_tpu()
@@ -625,34 +690,18 @@ def _latency_bounded_serving(hw: tuple[int, int]) -> dict:
     n_frames = 150 if on_tpu else 4
     curve = []
     rtt_spreads = []
+    # the running transport reference for the accept-or-retry protocol: the
+    # best (lowest) RTT median observed this sweep
+    rtt_ref = transport_rtt_ms() if on_tpu else None
     for mi in (1, 2, 4, None):
-        eng.timer.reset()
-        source = SyntheticSource(cfg.camera, seed=0, n_frames=n_frames)
-        m = eng.run(
-            source, plan_paths=True, warmup=False, max_inflight=mi,
-            plan_every=4, probe_rtt=True,
-        )
-        lat = eng.timer.stats("latency")
-        free = eng.timer.stats("latency_rtt_free")
-        rtt = eng.timer.stats("rtt")
-        if rtt.get("n"):
-            rtt_spreads.append(
-                [round(rtt[k], 2) for k in ("min_ms", "p50_ms", "max_ms")]
-            )
-        curve.append(
-            {
-                "max_inflight": mi,
-                "fps": round(m["fps"], 2),
-                "p50_ms": round(lat["p50_ms"], 2) if lat.get("p50_ms") else None,
-                "p99_ms": round(lat["p99_ms"], 2) if lat.get("p99_ms") else None,
-                "p50_rtt_free_ms": (
-                    round(free["p50_ms"], 2) if free.get("n") else None
-                ),
-                "rtt_p50_ms": round(rtt["p50_ms"], 2) if rtt.get("n") else None,
-                "rtt_saturated": m.get("rtt_saturated", 0),
-                "plan_p50_ms": eng.timer.stats("plan").get("p50_ms"),
-            }
-        )
+        point = _bounded_point(eng, cfg, mi, n_frames, rtt_ref)
+        if on_tpu and point["rtt_p50_ms"]:
+            rtt_ref = min(rtt_ref, point["rtt_p50_ms"])
+        if point.get("rtt_spread_ms"):
+            rtt_spreads.append(point.pop("rtt_spread_ms"))
+        else:
+            point.pop("rtt_spread_ms", None)
+        curve.append(point)
     # queue-model cross-check (informational): latency ≈ (depth+1) × step on
     # an RTT-free transport, with step derived from the depth-1 setting's
     # PAIRED corrected p50
@@ -1110,6 +1159,153 @@ def config18_pipeline_parallel_serving() -> dict:
     }
 
 
+def _chained_plan_step_ms(eng, variant: str, k: int, best_of: int = 2) -> float:
+    """Serialized-chain device step of the fused frame+plan graph (or its
+    tracked variants): K steps inside one fori_loop, each iteration's input
+    data-dependent on the previous output through a branch XLA cannot fold,
+    one value readback at the end (bench.py methodology — block_until_ready
+    can ack before remote completion on this backend, and the single chain
+    amortizes the host↔device RTT over K steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    cam = eng.cfg.camera
+    packed0 = jax.device_put(
+        np.zeros((cam.height * cam.width * 5,), np.uint8)
+    )
+    p = eng.params
+
+    def opaque(plan, pk):
+        s = plan.sum()
+        return jnp.where(s > jnp.float32(1e30), pk ^ 1, pk), s
+
+    if variant == "plain":
+        def body(i, carry):
+            pk, acc = carry
+            plan = eng._serve_step_plan_fn(p, pk)
+            pk, s = opaque(plan, pk)
+            return pk, acc + s
+
+        def chain(pk):
+            _, acc = jax.lax.fori_loop(0, k, body, (pk, jnp.float32(0)))
+            return acc
+    elif variant == "track":
+        tracks0 = eng._init_tracks()
+
+        def body(i, carry):
+            pk, tr, acc = carry
+            plan, tr = eng._serve_step_track_plan_fn(p, pk, tr)
+            pk, s = opaque(plan, pk)
+            return pk, tr, acc + s
+
+        def chain(pk):
+            _, _, acc = jax.lax.fori_loop(0, k, body, (pk, tracks0, jnp.float32(0)))
+            return acc
+    elif variant == "track_mem":
+        tracks0 = eng._init_tracks()
+        mem0 = eng._init_obstacle_mem()
+
+        def body(i, carry):
+            pk, tr, mem, acc = carry
+            plan, tr, mem = eng._serve_step_track_plan_mem_fn(p, pk, tr, mem)
+            pk, s = opaque(plan, pk)
+            return pk, tr, mem, acc + s
+
+        def chain(pk):
+            _, _, _, acc = jax.lax.fori_loop(
+                0, k, body, (pk, tracks0, mem0, jnp.float32(0))
+            )
+            return acc
+    else:
+        raise ValueError(variant)
+
+    chained = jax.jit(chain)
+    float(chained(packed0))  # compile + first run outside the timed path
+    samples = []
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(chained(packed0))  # value readback forces completion
+        samples.append(time.perf_counter() - t0)
+    return min(samples) / k * 1e3
+
+
+def config19_tracked_serving() -> dict:
+    """Config 19: the tracked serving graph's measured TPU cost
+    (VERDICT r4 item 2).
+
+    Round 4 shipped ``--track`` / ``--obstacle-memory`` with a "~0.1 ms"
+    comment (runtime/engine.py) and no measurement.  This config records:
+
+    - the serialized-chain device step of the fused frame+plan graph at QVGA
+      and VGA, untracked vs +track vs +track+obstacle-memory — the Kalman
+      bank update and the decayed-max memory ride the same dispatch, so
+      their true chip cost is the step delta; and
+    - one latency-bounded serving point (max_inflight=2, plan_every=4,
+      paired-RTT corrected, accept-or-retry weather protocol) with
+      ``--track --obstacle-memory 0.8`` on — the tracked robot-control
+      deployment's measured end-to-end latency.
+
+    Ref: src/path.rs:37-49 is the raw per-frame seeding tracking replaces.
+    """
+    from tod_tpu.core.config import PlannerConfig, TrackerConfig
+    from tod_tpu.runtime import Engine
+
+    on_tpu = _on_tpu()
+    k = 64 if on_tpu else 2
+    params = _pinned_params()
+    steps: dict = {}
+    resolutions = [(240, 320), (480, 640)] if on_tpu else [(48, 64)]
+    for hw in resolutions:
+        label = f"{hw[1]}x{hw[0]}"
+        cfg = _pipeline_cfg(hw)
+        cfg = dataclasses.replace(
+            cfg,
+            planner=PlannerConfig(backend="tpu"),
+            tracker=TrackerConfig(enabled=True, obstacle_memory=0.8),
+        )
+        eng = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
+        eng.warmup(plan_standalone=False)
+        plain = _chained_plan_step_ms(eng, "plain", k)
+        tracked = _chained_plan_step_ms(eng, "track", k)
+        tracked_mem = _chained_plan_step_ms(eng, "track_mem", k)
+        steps[label] = {
+            "plan_step_ms": round(plain, 3),
+            "track_step_ms": round(tracked, 3),
+            "track_mem_step_ms": round(tracked_mem, 3),
+            "track_delta_ms": round(tracked - plain, 3),
+            "mem_delta_ms": round(tracked_mem - tracked, 3),
+        }
+
+    # bounded-latency point with the full tracked+memory serving stack on
+    hw = (240, 320) if on_tpu else (48, 64)
+    cfg = _pipeline_cfg(hw)
+    cfg = dataclasses.replace(
+        cfg,
+        planner=PlannerConfig(backend="tpu"),
+        tracker=TrackerConfig(enabled=True, obstacle_memory=0.8),
+    )
+    eng = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
+    eng.warmup(plan_standalone=False)
+    rtt_ref = transport_rtt_ms() if on_tpu else None
+    point = _bounded_point(
+        eng, cfg, 2, 150 if on_tpu else 4, rtt_ref, plan_every=4
+    )
+
+    qvga = steps.get("320x240") or next(iter(steps.values()))
+    return {
+        "metric": "tracked_serving_step_delta_ms",
+        "value": qvga["track_mem_step_ms"],
+        "unit": "ms/frame (tracked+memory fused step)",
+        "vs_baseline": round(REF_TILE_MS * 2 / qvga["track_mem_step_ms"], 2)
+        if qvga["track_mem_step_ms"]
+        else None,
+        "steps": steps,
+        "bounded_point_tracked": point,
+        "warmup_breakdown": getattr(eng, "warmup_breakdown", None),
+        "backend": "tpu" if on_tpu else "cpu",
+    }
+
+
 CONFIGS = {
     1: config1_single_frame_fixture,
     2: config2_mask_assembly_nms,
@@ -1129,6 +1325,7 @@ CONFIGS = {
     16: config16_multistream_serving,
     17: config17_latency_bounded_vga,
     18: config18_pipeline_parallel_serving,
+    19: config19_tracked_serving,
 }
 
 

@@ -206,6 +206,21 @@ def planner_config_from_meta(meta: dict):
     )
 
 
+def _rtt_probe_ms() -> float:
+    """One transport round trip (dispatch + 4-byte value readback of a tiny
+    resident array — no compute): the same-moment weather stamp attached to
+    each AOT load stage so a slow stage is attributable to the transport or
+    to the stage itself (VERDICT r4 item 3)."""
+    import jax
+
+    x = jax.device_put(np.zeros((8,), np.float32))
+    f = jax.jit(lambda v: v.sum())
+    float(f(x))  # compile outside the timed path
+    t0 = time.perf_counter()
+    float(f(x))
+    return round((time.perf_counter() - t0) * 1e3, 1)
+
+
 class ServingArtifact:
     """A loaded frozen serving graph.
 
@@ -216,13 +231,18 @@ class ServingArtifact:
     ``boot``: how this load will execute — ``"aot"`` (the embedded
     serialized executable loaded directly, zero XLA compile) or ``"jit"``
     (the portable StableHLO payload, compiled on first call).
+
+    ``load_stages``: per-stage seconds of the load path (read_file / pickle /
+    deserialize_and_load / probe_exec) plus ``rtt_before_ms``/``rtt_after_ms``
+    transport stamps, so a slow boot is attributable from the artifact alone.
     """
 
-    def __init__(self, exported, meta: dict, aot_call=None):
+    def __init__(self, exported, meta: dict, aot_call=None, load_stages=None):
         import jax
 
         self.meta = meta
         self._exported = exported
+        self.load_stages = load_stages or {}
         if aot_call is not None:
             self._call = aot_call
             self.boot = "aot"
@@ -231,7 +251,7 @@ class ServingArtifact:
             self.boot = "jit"
 
     @staticmethod
-    def _try_load_aot(meta: dict, blob: bytes):
+    def _try_load_aot(meta: dict, blob: bytes, stages: dict | None = None):
         """Deserialize the AOT executable when this machine matches the
         pinned platform/device kind; None (→ StableHLO fallback) otherwise."""
         import pickle
@@ -247,28 +267,47 @@ class ServingArtifact:
         ):
             return None
         try:
+            t0 = time.perf_counter()
             payload, in_tree, out_tree = pickle.loads(blob)
+            t1 = time.perf_counter()
             # the serving graph is single-device: pin execution to one device
             # (default loading targets every local device — wrong on a
             # multi-device host / the 8-device virtual test mesh)
             call = se.deserialize_and_load(
                 payload, in_tree, out_tree, execution_devices=[dev]
             )
+            t2 = time.perf_counter()
             # probe once: executable deserialization can succeed and still be
             # unable to run (XLA:CPU AOT thunk gaps; stale device kinds) —
-            # better to pay one ~ms execution here than to fail mid-serving
+            # better to pay one execution here than to fail mid-serving.
+            # The probe forces a VALUE readback of every output leaf:
+            # block_until_ready can ack a dispatch before remote completion
+            # on tunneled backends (bench.py methodology), which in round 4
+            # let the probe "pass" while deferring ~43 s of real program
+            # load into the first serving call — and mis-attributing it to
+            # ``first_plan`` in the boot stage clock.
             probe = jax.device_put(
                 np.zeros((meta["packed_input_bytes"],), np.uint8), dev
             )
-            jax.block_until_ready(call(probe))
+            for leaf in jax.tree.leaves(call(probe)):
+                np.asarray(leaf)
+            t3 = time.perf_counter()
+            if stages is not None:
+                stages["pickle"] = round(t1 - t0, 2)
+                stages["deserialize_and_load"] = round(t2 - t1, 2)
+                stages["probe_exec"] = round(t3 - t2, 2)
             return call
         except Exception:
             return None  # corrupt/incompatible/non-executing — portable path works
 
     @classmethod
-    def load(cls, path: str) -> "ServingArtifact":
+    def load(cls, path: str, probe_rtt: bool = False) -> "ServingArtifact":
         from jax import export as jexport
 
+        stages: dict = {}
+        if probe_rtt:
+            stages["rtt_before_ms"] = _rtt_probe_ms()
+        t0 = time.perf_counter()
         with open(path, "rb") as f:
             magic = f.read(len(_MAGIC))
             if magic != _MAGIC:
@@ -281,11 +320,17 @@ class ServingArtifact:
             else:  # format 1: StableHLO to EOF
                 payload = f.read()
                 aot_blob = b""
-        aot_call = cls._try_load_aot(meta, aot_blob) if aot_blob else None
+        stages["read_file"] = round(time.perf_counter() - t0, 2)
+        aot_call = cls._try_load_aot(meta, aot_blob, stages) if aot_blob else None
         # AOT boot skips StableHLO deserialization entirely — the portable
         # payload is only parsed when it will actually be compiled
+        t0 = time.perf_counter()
         exported = None if aot_call else jexport.deserialize(bytearray(payload))
-        return cls(exported, meta, aot_call=aot_call)
+        if exported is not None:
+            stages["stablehlo_deserialize"] = round(time.perf_counter() - t0, 2)
+        if probe_rtt:
+            stages["rtt_after_ms"] = _rtt_probe_ms()
+        return cls(exported, meta, aot_call=aot_call, load_stages=stages)
 
     def call(self, packed):
         n = self.meta["packed_input_bytes"]

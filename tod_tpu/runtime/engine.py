@@ -250,6 +250,7 @@ class Engine:
             )
 
         self._serve_step_plan = jax.jit(_serve_step_plan, donate_argnums=donate)
+        self._serve_step_plan_fn = _serve_step_plan  # unjitted (bench chaining)
 
         # Tracked fused frame+plan graph (TrackerConfig.enabled): the Kalman
         # track bank (tod_tpu/track) updates INSIDE the same dispatch — the
@@ -288,6 +289,7 @@ class Engine:
             self._serve_step_track_plan = jax.jit(
                 _serve_step_track_plan, donate_argnums=(2,)
             )
+            self._serve_step_track_plan_fn = _serve_step_track_plan  # bench chaining
             self._init_tracks = lambda: jax.device_put(init_tracks(tkcfg))
 
         if self._obstacle_mem_mode:
@@ -334,6 +336,7 @@ class Engine:
             self._serve_step_track_plan_mem = jax.jit(
                 _serve_step_track_plan_mem, donate_argnums=(2, 3)
             )
+            self._serve_step_track_plan_mem_fn = _serve_step_track_plan_mem
             self._init_obstacle_mem = lambda: jax.device_put(
                 jnp.zeros(cam_hw, jnp.float32)
             )
@@ -385,11 +388,17 @@ class Engine:
             pass
         return plan_d
 
-    def _unpack_plan_buffer(self, buf: np.ndarray):
-        """Host-side inverse of the serving step's output packing."""
+    def _unpack_plan_buffer(self, buf):
+        """Host-side inverse of the serving step's output packing.  Takes the
+        device buffer (or an already-materialized array) and returns host
+        (height, balls) — materialization lives here so subclasses with
+        differently-shaped serving outputs (ArtifactEngine's scene tuples)
+        can override the whole decode."""
         from tod_tpu.ops.packing import unpack_height_balls
 
-        return unpack_height_balls(buf, self.cfg.camera.height, self.cfg.camera.width)
+        return unpack_height_balls(
+            np.asarray(buf), self.cfg.camera.height, self.cfg.camera.width
+        )
 
     def warmup(self, plan_standalone: bool = True) -> float:
         """Compile the graph on a dummy frame; returns compile seconds.
@@ -397,47 +406,62 @@ class Engine:
         ``plan_standalone`` additionally warms the standalone sync-point plan
         graph (planner.api.dispatch_plan_device) in device-planner mode —
         ``run()`` passes ``plan_every is None`` so the extra seconds of XLA
-        compile are only paid when that path will actually dispatch."""
+        compile are only paid when that path will actually dispatch.
+
+        Per-graph seconds land in ``self.warmup_breakdown`` (VERDICT r4
+        item 3: a 135 s aggregate compile regression was unattributable
+        because warmup returned one number)."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
         rgb = jnp.zeros((h, w, 3), jnp.uint8)
         depth = jnp.zeros((h, w), jnp.uint16)
-        t0 = time.perf_counter()
-        scene, dets = self._step(self.params, rgb, depth)
-        jax.block_until_ready(scene.height)
-        out = self._serve_step(self.params, rgb, depth)
-        jax.block_until_ready(out)
+        breakdown: dict[str, float] = {}
+        t_total = time.perf_counter()
+
+        def timed(name, fn):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            breakdown[name] = round(time.perf_counter() - t0, 2)
+
+        timed("step", lambda: self._step(self.params, rgb, depth)[0].height)
+        timed("serve_step", lambda: self._serve_step(self.params, rgb, depth))
         def _packed():
             return jnp.zeros((h * w * 5,), jnp.uint8)
 
         if self._plan_on_device_mode:
-            hb = self._serve_step_scene(self.params, _packed())
-            jax.block_until_ready(hb)
-            plan = self._serve_step_plan(self.params, _packed())
-            jax.block_until_ready(plan)
+            hb_box = []
+            def _scene():
+                hb_box.append(self._serve_step_scene(self.params, _packed()))
+                return hb_box[0]
+            timed("serve_step_scene", _scene)
+            timed("serve_step_plan", lambda: self._serve_step_plan(self.params, _packed()))
             if self.cfg.tracker.enabled:
                 # tracked variant compiles against a throwaway state buffer
                 # (donated arg — the real per-run state is built by run())
                 if self._obstacle_mem_mode:
-                    plan, tr, mem = self._serve_step_track_plan_mem(
-                        self.params, _packed(), self._init_tracks(),
-                        self._init_obstacle_mem(),
+                    timed(
+                        "serve_step_track_plan_mem",
+                        lambda: self._serve_step_track_plan_mem(
+                            self.params, _packed(), self._init_tracks(),
+                            self._init_obstacle_mem(),
+                        )[1:],
                     )
-                    jax.block_until_ready(mem)
                 else:
-                    plan, tr = self._serve_step_track_plan(
-                        self.params, _packed(), self._init_tracks()
+                    timed(
+                        "serve_step_track_plan",
+                        lambda: self._serve_step_track_plan(
+                            self.params, _packed(), self._init_tracks()
+                        )[1],
                     )
-                jax.block_until_ready(tr)
             # the plan_every=None path dispatches the STANDALONE plan graph
             # (planner.api.dispatch_plan_device) at sync points — a separate
             # jit cache from the fused _serve_step_plan above, so warm it too
             # or the first sync point pays a full XLA compile mid-run
             if plan_standalone:
-                jax.block_until_ready(self._plan_payload(hb))
+                timed("plan_standalone", lambda: self._plan_payload(hb_box[0]))
         else:
-            out = self._serve_step_packed(self.params, _packed())
-            jax.block_until_ready(out)
-        return time.perf_counter() - t0
+            timed("serve_step_packed", lambda: self._serve_step_packed(self.params, _packed()))
+        self.warmup_breakdown = breakdown
+        return time.perf_counter() - t_total
 
     def process(self, frame: Frame) -> tuple[Scene, Detections]:
         """One frame through the device graph (device-resident outputs)."""
@@ -809,7 +833,7 @@ class _PlannerWorker:
                 else:
                     # single readback (usually already prefetched to host by
                     # copy_to_host_async at dispatch time)
-                    height, balls = self.engine._unpack_plan_buffer(np.asarray(out_d))
+                    height, balls = self.engine._unpack_plan_buffer(out_d)
                     path = plan_from_height(height, balls, self.engine.cfg.planner)
             self.n_planned += 1
             self.last_path = path

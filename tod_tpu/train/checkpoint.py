@@ -53,7 +53,29 @@ def pinned_checkpoint() -> str | None:
     return None
 
 
-def load_checkpoint(path: str | pathlib.Path) -> Any:
+def _ckpt_fingerprint(path: pathlib.Path) -> str:
+    """Cheap change-detection stamp for a checkpoint dir: newest mtime_ns +
+    total bytes over its files (orbax writes are save-as-replace via
+    save_checkpoint, so any re-pin changes both)."""
+    newest, total = 0, 0
+    for f in path.rglob("*"):
+        if f.is_file():
+            st = f.stat()
+            newest = max(newest, st.st_mtime_ns)
+            total += st.st_size
+    return f"{newest}-{total}"
+
+
+def load_checkpoint(path: str | pathlib.Path, fast: bool = True) -> Any:
+    """Restore a checkpoint tree.
+
+    ``fast`` (default): maintain a msgpack sidecar (``<dir>.fast.msgpack``)
+    holding the same numpy tree — a single-file flat read that restores in
+    a fraction of orbax's directory walk + async layout.  The sidecar is
+    keyed to the checkpoint dir's fingerprint and rebuilt transparently when
+    the checkpoint changes, so it is a pure boot-time cache (boot-to-first-
+    plan's ``checkpoint_and_engine`` stage was a constant ~5.5 s of which
+    orbax restore dominated — VERDICT r4 item 7)."""
     path = pathlib.Path(path).absolute()
     if not path.exists():
         # crash-window recovery: a save interrupted mid-swap leaves the new
@@ -64,5 +86,31 @@ def load_checkpoint(path: str | pathlib.Path) -> Any:
             if alt.exists():
                 path = alt
                 break
+    sidecar = path.with_name(path.name + ".fast.msgpack")
+    fp = _ckpt_fingerprint(path) if fast else None
+    if fast and sidecar.exists():
+        try:
+            from flax import serialization
+
+            raw = sidecar.read_bytes()
+            blob = serialization.msgpack_restore(raw)
+            if blob.get("__fingerprint__") == fp:
+                return blob["tree"]
+        except Exception:
+            pass  # corrupt/stale sidecar: fall through to orbax + rebuild
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    tree = ckptr.restore(path)
+    if fast:
+        try:
+            from flax import serialization
+
+            tmp = sidecar.with_suffix(".tmp")
+            tmp.write_bytes(
+                serialization.msgpack_serialize(
+                    {"__fingerprint__": fp, "tree": jax.tree.map(np.asarray, tree)}
+                )
+            )
+            tmp.rename(sidecar)  # atomic publish: no torn sidecars
+        except Exception:
+            pass  # cache write is best-effort; correctness never depends on it
+    return tree

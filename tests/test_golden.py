@@ -118,6 +118,7 @@ class TestTrainedCheckpoint:
         path = plan_from_height(np.asarray(scene.height), balls, cfg.planner)
         assert len(path.directions) > 50, "a real path to a ball was planned"
 
+    @pytest.mark.slowgate
     def test_mask_iou_vs_ground_truth(self):
         """Mask-IoU golden (docs/roadmap.md §1): the pinned checkpoint's
         semantic masks must overlap the procedural generator's exact ground
@@ -155,6 +156,7 @@ class TestTrainedCheckpoint:
         for c, iou in per_class.items():
             assert iou > 0.55, f"class {c} mask IoU {iou:.3f} below golden band"
 
+    @pytest.mark.slowgate
     def test_detection_quality_held_out(self):
         """Detection-path golden: with the pinned checkpoint, held-out
         procedural scenes must be *well* detected — recall@IoU50 ≥ 0.8,
@@ -178,6 +180,7 @@ class TestTrainedCheckpoint:
         # semantic map): pinned checkpoint measures 0.87
         assert m["inst_mask_iou_mean"] >= 0.75, m
 
+    @pytest.mark.slowgate
     def test_disk_dataset_eval_matches_synthetic(self, tmp_path):
         """Evaluating against an on-disk export of the SAME held-out scenes
         (seed 9999) must reproduce the synthetic-eval metrics — the PNG/json
@@ -209,6 +212,7 @@ class TestTrainedCheckpoint:
                   "inst_mask_iou_mean", "detections_per_gt"):
             assert got[k] == pytest.approx(want[k], abs=2e-3), (k, got[k], want[k])
 
+    @pytest.mark.slowgate
     def test_quantized_engine_matches_float_within_band(self):
         """Int8 end-to-end engine (ModelConfig.quantized) vs the bf16 engine on
         the same pinned weights: per-pixel class maps must agree within the
@@ -371,17 +375,76 @@ class TestDomainRandomizedCheckpoint:
             "hallucinations are back"
         )
 
+    @pytest.mark.slowgate
     def test_cross_domain_sim_map(self, engines):
         """mAP on sim-renderer scenes (a generator the trainer never saw):
-        detection, not memorization of one distribution."""
+        detection, not memorization of one distribution.  The bar is 0.75
+        (raised from 0.5 in round 5, VERDICT r4 item 4: the measured value
+        was 0.827→0.802 across rounds and a 0.5 bar would let it halve
+        silently)."""
         from tod_tpu.train.evaluate import evaluate_engines, sim_eval_scenes
 
         m = evaluate_engines(
             *engines, hw=self.HW, scenes=sim_eval_scenes(self.HW, 6, seed=11)
         )
-        assert m["map50"] is not None and m["map50"] >= 0.5, m
+        assert m["map50"] is not None and m["map50"] >= 0.75, m
         assert m["det_recall_iou50"] >= 0.6, m
 
+    @pytest.mark.slowgate
+    def test_perturbation_robustness_on_real_fixtures(self, engines):
+        """De-leaked real-image gate (VERDICT r4 item 4): the two reference
+        photographs are also the images the round-4 fine-tune iterated
+        against, so scoring only their exact pixel grids is selection
+        pressure on the test set.  This gate scores 16 deterministic
+        photometric/geometric variants (train/evaluate.py PERTURBATIONS —
+        gamma, contrast, white-balance, noise, hflip, zoom in/out) that no
+        training run ever optimized against, with the GT transformed
+        alongside.  A model that memorized the fixtures fails here; the
+        written protocol (checkpoints/README.md "Real-fixture evaluation
+        protocol") forbids future training iterations from targeting these
+        variants."""
+        if not FIXTURES.exists():
+            pytest.skip("reference fixtures unavailable")
+        from tod_tpu.train.evaluate import (
+            evaluate_engines,
+            perturbed_fixture_scenes,
+        )
+
+        root = pathlib.Path(__file__).parent / "fixtures/real"
+        m = evaluate_engines(
+            *engines,
+            hw=self.HW,
+            scenes=perturbed_fixture_scenes(str(root), self.HW),
+        )
+        assert m["n_scenes"] == 16, m
+        # recall under perturbation: the balls and the robot must still be
+        # FOUND (IoU .3 — geometric variants legitimately blur box edges)
+        assert m["det_recall_iou30"] >= 0.8, m
+        assert m["det_recall_iou50"] >= 0.6, m
+        assert m["map50"] is not None and m["map50"] >= 0.5, m
+        assert m["ap50_per_class"][3] >= 0.5, m  # balls under perturbation
+
+    @pytest.mark.slowgate
+    def test_quality_holds_at_native_vga(self):
+        """Quality at the reference's native 640×480 operating point
+        (VERDICT r4 item 5; reference src/scene.rs:36-37): the VGA serving
+        configs (bench 6/17) were recorded with a checkpoint only ever
+        evaluated at 240×320.  Measured on the TPU (16 scenes): mAP@.5 = 1.0,
+        recall@50 = 1.0, mAP@[.5:.95] = 0.871 — fully-convolutional transfer
+        HOLDS for in-distribution object pixel scales.  (The 224×224 real
+        fixtures UPSCALED to VGA fail — ~3× scale extrapolation; recorded in
+        docs/performance.md, not gated: upscaled photos are not the VGA
+        deployment input, native VGA camera frames are.)"""
+        ckpt = pathlib.Path(__file__).parent.parent / "checkpoints/yolact_dr"
+        if not ckpt.exists():
+            pytest.skip("domain-randomized pinned checkpoint not present")
+        from tod_tpu.train.evaluate import evaluate
+
+        m = evaluate(str(ckpt), n_scenes=4, seed=9999, hw=(480, 640))
+        assert m["map50"] >= 0.9, m
+        assert m["det_recall_iou50"] >= 0.9, m
+
+    @pytest.mark.slowgate
     def test_same_domain_gates_still_hold(self):
         """Pinning the domain-randomized checkpoint must not regress the
         procedural-domain quality bars the round-2/3 checkpoint set."""

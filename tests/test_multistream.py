@@ -91,6 +91,58 @@ class TestBatchedEquivalence:
                 err_msg=f"stream {i} total plan cost",
             )
 
+    def test_tracked_banks_match_single_stream_tracked_engine(self):
+        """Per-stream Kalman banks (round 5): the batched tracked graph's
+        plan and updated bank for each stream must match the single-stream
+        tracked Engine fed the same frame from the same initial bank —
+        tracking in multistream is a vmap of the Engine's tracked step, not
+        a reimplementation (VERDICT r4 item 2)."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from tod_tpu.core.config import PlannerConfig, TrackerConfig
+        from tod_tpu.runtime.engine import Engine
+
+        cfg = dc.replace(
+            CFG,
+            planner=PlannerConfig(backend="tpu"),
+            tracker=TrackerConfig(enabled=True),
+        )
+        eng = Engine(cfg, mode="detect", use_pallas=False, seed=0)
+        ms = MultiStreamEngine(cfg, n_streams=2, seed=0)
+        assert ms.tracked
+        frames = [
+            next(SyntheticSource(CAM, seed=s, n_frames=1).frames()) for s in (3, 11)
+        ]
+        batch = np.stack([_pack(f) for f in frames])
+        bank = np.asarray(ms._init_track_bank())
+        # two consecutive ticks so the banks actually evolve (hit + predict)
+        plans1, bank1 = ms._serve_plan_batch_track(
+            ms.params, jnp.asarray(batch), jnp.asarray(bank.copy())
+        )
+        plans2, bank2 = ms._serve_plan_batch_track(
+            ms.params, jnp.asarray(batch), bank1
+        )
+        plans2, bank2 = np.asarray(plans2), np.asarray(bank2)
+        for i, frame in enumerate(frames):
+            tr = jnp.asarray(bank[i].copy())
+            for plan_s, _ in [(None, 0), (None, 1)]:
+                plan_s, tr = eng._serve_step_track_plan(
+                    eng.params, jnp.asarray(_pack(frame)), tr
+                )
+            np.testing.assert_allclose(
+                bank2[i], np.asarray(tr), atol=1e-4, rtol=1e-4,
+                err_msg=f"stream {i} track bank",
+            )
+            plan_s = np.asarray(plan_s)
+            assert int(plans2[i, 0, 0]) == int(plan_s[0, 0]), f"stream {i} n_valid"
+            np.testing.assert_allclose(
+                plans2[i, 1:, 0].sum(), plan_s[1:, 0].sum(), rtol=1e-3,
+                err_msg=f"stream {i} tracked plan cost",
+            )
+
     def test_run_loop_serves_all_streams(self):
         """Three live streams → every store receives a path; per-stream paths
         reflect per-stream scenes (distinct seeds → distinct ball layouts)."""

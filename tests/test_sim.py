@@ -210,6 +210,7 @@ class TestClosedLoop:
         assert (world.x, world.z) == (0.0, 0.0)  # searched in place
         assert m["min_obstacle_clearance_mm"] > 1000.0
 
+    @pytest.mark.slowgate
     def test_reaches_ball_through_full_model_perception(self):
         """The headline: rendered frames → YOLACT (pinned checkpoint) →
         detect → fusion → signed-turn plan → follower, closed loop, robot

@@ -196,11 +196,17 @@ def main(argv=None) -> int:
             return TraceSource(args.trace, loop=True, n_frames=args.frames)
         return RingSource(cam, fps=args.fps, trace_path=args.trace, n_frames=args.frames)
 
-    if args.track and not args.plan_every:
+    if args.track and not args.plan_every and args.streams <= 1:
         raise SystemExit("--track plans in-stream: requires --plan-every >= 1")
-    if args.track and (args.streams > 1 or args.pipeline):
-        raise SystemExit("--track is single-stream fused-graph serving "
-                         "(not yet wired into --streams/--pipeline)")
+    if args.track and args.pipeline:
+        raise SystemExit("--track is fused-graph serving (the track bank "
+                         "rides the plan dispatch; the stage-split pipeline "
+                         "has no plan stage to carry it)")
+    if args.obstacle_memory and args.streams > 1:
+        raise SystemExit("--obstacle-memory is single-stream: its state is a "
+                         "full (H, W) map per stream and the batched scene "
+                         "graph does not expose the per-stream robot layer "
+                         "(runtime/multistream.py docstring)")
     if args.streams > 1:
         return _main_multistream(args, cfg, cam, params, make_source)
     if args.pipeline:

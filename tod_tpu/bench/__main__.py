@@ -8,9 +8,11 @@ import json
 
 
 def main(argv=None) -> int:
+    from tod_tpu.bench.configs import CONFIGS
+
     p = argparse.ArgumentParser(description=__doc__)
     g = p.add_mutually_exclusive_group(required=True)
-    g.add_argument("--config", type=int, choices=range(1, 19))
+    g.add_argument("--config", type=int, choices=sorted(CONFIGS))
     g.add_argument("--all", action="store_true")
     args = p.parse_args(argv)
 
@@ -32,7 +34,7 @@ def main(argv=None) -> int:
 
     from tod_tpu.bench import run_config
 
-    todo = range(1, 19) if args.all else [args.config]
+    todo = sorted(CONFIGS) if args.all else [args.config]
     for n in todo:
         print(json.dumps(run_config(n)))
     return 0

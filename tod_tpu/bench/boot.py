@@ -58,6 +58,33 @@ def main(argv=None) -> int:
         stages[name] = round(now - t_prev, 2)
         t_prev = now
 
+    # overlap the checkpoint restore with the device/tunnel dial: the restore
+    # is host disk+CPU, the dial waits on the network — round 4 measured a
+    # constant ~5.5-5.9 s "checkpoint_and_engine" stage paid serially after
+    # the dial (VERDICT r4 item 7: warm boot < 10 s).  The thread only loads
+    # bytes (msgpack sidecar / orbax → host numpy); device placement happens
+    # in Engine construction after the dial as before.
+    ckpt_box: dict = {}
+    if not args.todx:
+        import threading
+
+        ckpt = args.checkpoint
+        if ckpt is None:
+            from tod_tpu.train.checkpoint import pinned_checkpoint
+
+            ckpt = pinned_checkpoint()
+
+        def _restore():
+            t0 = time.time()
+            if ckpt:
+                from tod_tpu.train.checkpoint import load_checkpoint
+
+                ckpt_box["params"] = load_checkpoint(ckpt)
+            ckpt_box["seconds"] = round(time.time() - t0, 2)
+
+        loader = threading.Thread(target=_restore, daemon=True)
+        loader.start()
+
     import jax
 
     if args.cache:
@@ -106,17 +133,10 @@ def main(argv=None) -> int:
             model=ModelConfig(input_size=(h // 8 * 8, w // 8 * 8)),
             planner=PlannerConfig(backend="tpu"),
         )
-        params = None
-        ckpt = args.checkpoint
-        if ckpt is None:
-            from tod_tpu.train.checkpoint import pinned_checkpoint
-
-            ckpt = pinned_checkpoint()
-        if ckpt:
-            from tod_tpu.train.checkpoint import load_checkpoint
-
-            params = load_checkpoint(ckpt)
-        stage("checkpoint_load")
+        loader.join()
+        params = ckpt_box.get("params")
+        stage("checkpoint_join")  # time NOT hidden behind the dial/imports
+        stages["checkpoint_restore_s"] = ckpt_box.get("seconds")
         engine = Engine(cfg, params=params, mode="detect")
         stage("engine_build")
         # the plan-serving loop needs exactly one graph: the fused frame+plan
@@ -124,6 +144,11 @@ def main(argv=None) -> int:
         path = materialize_path(engine._serve_step_plan(engine.params, packed))
         stage("compile_and_first_plan")
         boot = "engine-jit"
+        # weather stamp: one transport RTT so a slow cold/warm boot is
+        # attributable to tunnel weather vs compile (VERDICT r4 item 3)
+        from tod_tpu.deploy import _rtt_probe_ms
+
+        stages["rtt_after_ms"] = _rtt_probe_ms()
 
     print(
         json.dumps(

@@ -133,7 +133,7 @@ def export_engine(engine, mode: str = "plan", platforms=None):
         "model": {
             "input_size": list(engine.cfg.model.input_size),
             "quantized": bool(engine.cfg.model.quantized),
-            "backbone": getattr(engine.cfg.model, "backbone", "mobilenet_v2"),
+            "backbone": getattr(engine.cfg.model, "backbone", "mobilenetv2"),
         },
         "planner": {
             "max_path_steps": pcfg.max_path_steps,

@@ -70,7 +70,7 @@ def pipeline_config_from_meta(meta: dict, server: ServerConfig | None = None) ->
                 )
             ),
             quantized=bool(model_meta.get("quantized", False)),
-            backbone=model_meta.get("backbone", "mobilenet_v2"),
+            backbone=model_meta.get("backbone", "mobilenetv2"),
         ),
         planner=planner_config_from_meta(meta),
         **kwargs,

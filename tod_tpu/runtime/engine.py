@@ -301,10 +301,14 @@ class Engine:
             # planner's height is max(fresh occupancy, remembered bumps): a
             # robot whose detection flickers off for a few frames keeps
             # repelling the path instead of vanishing (the reference rebuilds
-            # the map from scratch every frame, pt_cloud.comp:108-114).  The
-            # fresh robot layer duplicates ~0.1 ms of the separable dilation
-            # already inside fuse_scene (XLA CSEs the shared subgraph when it
-            # can); the ball path and track update are untouched.
+            # the map from scratch every frame, pt_cloud.comp:108-114).
+            # Measured chip cost (bench config 19, v5e, 64-step serialized
+            # chain): +0.014 ms over the tracked step at QVGA, +0.012 ms at
+            # VGA — and the tracked step itself is within run-to-run noise
+            # of the untracked fused plan step (deltas −0.35/−0.19 ms, i.e.
+            # unmeasurable below noise).  XLA CSEs the fresh robot layer
+            # with the dilation already inside fuse_scene; the ball path
+            # and track update are untouched.
             from tod_tpu.geometry.fusion import robot_occupancy
             from tod_tpu.track import track_update, tracks_to_balls
 

@@ -120,13 +120,65 @@ class MultiStreamEngine:
 
         self._scenes = jax.jit(_scenes)
         self._serve_plan_batch = jax.jit(_serve_plan_batch)
+        self._serve_plan_batch_fn = _serve_plan_batch  # unjitted (bench chaining)
+
+        # Per-stream Kalman track banks (TrackerConfig.enabled), batched: the
+        # single-stream tracked serving graph's state is one (max_tracks, 10)
+        # array; N streams carry an (N, max_tracks, 10) bank through the same
+        # batched dispatch (vmap over the per-stream update+seed+plan), donated
+        # in place like the Engine's.  A stream whose feed restarts keeps its
+        # bank — stale tracks age out after max_misses updates, which is the
+        # tracker's own occlusion semantics (VERDICT r4 item 2: wire tracking
+        # into multistream or record why not).  Obstacle memory stays
+        # single-stream: its state is a full (H, W) float map per stream and
+        # its fresh-robot layer needs the per-stream depth/class intermediates
+        # that the batched scene graph does not expose.
+        tkcfg = self.cfg.tracker
+        self.tracked = bool(tkcfg.enabled)
+        if self.tracked:
+            from tod_tpu.track import init_tracks, track_update, tracks_to_balls
+
+            def _serve_plan_batch_track(p, packed, tracks):
+                scenes, _ = _scenes(p, packed)
+
+                def one(height, balls, tr):
+                    new_tr = track_update(tr, balls, tkcfg)
+                    seeds = tracks_to_balls(new_tr, tkcfg, geom.max_balls)
+                    return _plan_one(height, seeds), new_tr
+
+                plans, new_tracks = jax.vmap(one)(
+                    scenes.height, scenes.balls, tracks
+                )
+                return plans, new_tracks
+
+            self._serve_plan_batch_track = jax.jit(
+                _serve_plan_batch_track, donate_argnums=(2,)
+            )
+            self._serve_plan_batch_track_fn = _serve_plan_batch_track
+
+            n_banks = self.n_streams
+
+            def _bank():
+                one = np.asarray(init_tracks(tkcfg))
+                return jax.device_put(
+                    np.broadcast_to(one, (n_banks, *one.shape)).copy()
+                )
+
+            self._init_track_bank = _bank
 
     def warmup(self) -> float:
         """Compile the batched graph on dummy frames; returns compile secs."""
         h, w = self.cfg.camera.height, self.cfg.camera.width
         packed = jnp.zeros((self.n_streams, h * w * 5), jnp.uint8)
         t0 = time.perf_counter()
-        jax.block_until_ready(self._serve_plan_batch(self.params, packed))
+        if self.tracked:
+            # throwaway bank: the real per-run bank is built by _drive
+            out, tr = self._serve_plan_batch_track(
+                self.params, packed, self._init_track_bank()
+            )
+            jax.block_until_ready((out, tr))
+        else:
+            jax.block_until_ready(self._serve_plan_batch(self.params, packed))
         return time.perf_counter() - t0
 
     def process(self, packed_np: np.ndarray):
@@ -273,6 +325,7 @@ class MultiStreamEngine:
         n_done = 0
         fresh_total = 0
         out_d = None
+        tracks_d = self._init_track_bank() if self.tracked else None
         t_start = time.perf_counter()
         t_batch = t_start
         batch_n = 0
@@ -294,9 +347,14 @@ class MultiStreamEngine:
                 if batch is None:
                     break  # every stream exhausted (or none produced in time)
                 t_dispatch = time.perf_counter()
-                out_d = self._serve_plan_batch(
-                    self.params, jax.device_put(batch)
-                )
+                if self.tracked:
+                    out_d, tracks_d = self._serve_plan_batch_track(
+                        self.params, jax.device_put(batch), tracks_d
+                    )
+                else:
+                    out_d = self._serve_plan_batch(
+                        self.params, jax.device_put(batch)
+                    )
                 if max_inflight is not None:
                     inflight.append(out_d)
                     if len(inflight) > max_inflight:

@@ -127,6 +127,14 @@ class DomainRandomizedData(SyntheticDetectionData):
     in-distribution while the bulk of training covers the randomized domain.
     """
 
+    # sampling ranges as class attributes so evaluation-only variants
+    # (HardEvalData) can shift the distribution without copying draw code
+    BALL_R_RANGE = (0.04, 0.32)       # fraction of min(h, w)
+    ROBOT_HALF_RANGE = (0.12, 0.55)   # fraction of each axis
+    N_BALLS_RANGE = (0, 5)            # np.integers bounds (high-exclusive)
+    N_ROBOTS_RANGE = (0, 3)
+    BG_MODES = ("ramp", "flat", "gradient", "texture", "clutter", "crowd")
+
     def __init__(self, *args, legacy_prob: float = 0.2, **kw):
         super().__init__(*args, **kw)
         self.legacy_prob = legacy_prob
@@ -145,8 +153,8 @@ class DomainRandomizedData(SyntheticDetectionData):
         classes = np.zeros((MAX_OBJECTS,), np.int32)
         sem = np.zeros((h, w), np.int32)
 
-        n_balls = int(rng.integers(0, 5))
-        n_robots = int(rng.integers(0, 3))
+        n_balls = int(rng.integers(*self.N_BALLS_RANGE))
+        n_robots = int(rng.integers(*self.N_ROBOTS_RANGE))
         if n_balls + n_robots == 0:
             n_balls = 1
         kinds = [BALL] * n_balls + [
@@ -193,7 +201,7 @@ class DomainRandomizedData(SyntheticDetectionData):
 
     # -------------------------------------------------------- background --
     def _background(self, rng, h, w) -> np.ndarray:
-        mode = rng.choice(["ramp", "flat", "gradient", "texture", "clutter", "crowd"])
+        mode = rng.choice(list(self.BG_MODES))
         if mode == "ramp":  # legacy floor look, base colors jittered
             ramp = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
             base = _rand_color(rng, 10, 90)
@@ -366,7 +374,7 @@ class DomainRandomizedData(SyntheticDetectionData):
     def _draw_ball(self, rng, img) -> np.ndarray | None:
         """Shaded sphere with optional seams/specular; returns full-frame mask."""
         h, w = img.shape[:2]
-        r = rng.uniform(0.04, 0.32) * min(h, w)
+        r = rng.uniform(*self.BALL_R_RANGE) * min(h, w)
         cy = rng.uniform(0.08, 0.92) * h
         cx = rng.uniform(0.08, 0.92) * w
         y0, y1 = int(max(cy - r, 0)), int(min(cy + r + 1, h))
@@ -421,8 +429,8 @@ class DomainRandomizedData(SyntheticDetectionData):
     def _draw_robot(self, rng, img, kind: int) -> np.ndarray | None:
         """Dark mechanism body over a saturated bumper band (or legacy box)."""
         h, w = img.shape[:2]
-        bw = rng.uniform(0.12, 0.55) * w  # body half-width
-        bh = rng.uniform(0.12, 0.55) * h  # body half-height
+        bw = rng.uniform(*self.ROBOT_HALF_RANGE) * w  # body half-width
+        bh = rng.uniform(*self.ROBOT_HALF_RANGE) * h  # body half-height
         cy = rng.uniform(0.15, 0.9) * h
         cx = rng.uniform(0.1, 0.9) * w
         bumper = BUMPER_RED if kind == RED_ROBOT else BUMPER_BLUE
@@ -509,6 +517,34 @@ class DomainRandomizedData(SyntheticDetectionData):
         sigma = np.float32(rng.uniform(2.0, 9.0))
         out += rng.standard_normal(out.shape, dtype=np.float32) * sigma
         return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class HardEvalData(DomainRandomizedData):
+    """Harder held-out EVALUATION distribution (VERDICT r4 item 6).
+
+    The standard held-out eval saturated: an 8k-step ResNet50 short-train and
+    the 60k MobileNetV2 campaign both pin mAP@.5 = 1.0, so the backbone
+    quality table could not discriminate capacity.  This variant shifts the
+    same generator toward the failure modes that separate models — small
+    objects (ball radius 0.018-0.07 vs 0.04-0.32), crowded scenes (3-6 balls
+    + 1-3 robots, painter's-order occlusion), and busy backgrounds only
+    (texture/clutter/crowd) — while keeping the class definitions identical.
+
+    Evaluation-only by protocol (checkpoints/README.md "Real-fixture
+    evaluation protocol"): training on this distribution would re-saturate
+    the gate.  Used by bench config 15's quality axis and
+    ``train.evaluate --hard``.
+    """
+
+    BALL_R_RANGE = (0.018, 0.07)  # floor keeps the smallest ball above MIN_VISIBLE_PX
+    ROBOT_HALF_RANGE = (0.05, 0.16)
+    N_BALLS_RANGE = (3, 7)
+    N_ROBOTS_RANGE = (1, 4)
+    BG_MODES = ("texture", "clutter", "crowd")
+
+    def __init__(self, *args, **kw):
+        kw["legacy_prob"] = 0.0
+        super().__init__(*args, **kw)
 
 
 def _upsample_bilinear(grid: np.ndarray, h: int, w: int) -> np.ndarray:

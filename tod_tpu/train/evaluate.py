@@ -184,6 +184,106 @@ def sim_eval_scenes(hw, n_scenes: int, seed: int = 0):
         yield frame.rgb, boxes, classes, valid, inst, cls_map.astype(np.int32)
 
 
+def hard_eval_scenes(hw, n_scenes: int, seed: int = 0):
+    """Held-out scenes from the HARD evaluation distribution
+    (train/domainrand.py::HardEvalData — small/occluded/crowded objects on
+    busy backgrounds).  The discriminative quality axis for the backbone
+    family table (bench config 15, VERDICT r4 item 6): the standard held-out
+    eval pins trained backbones at mAP@.5 = 1.0."""
+    from tod_tpu.train.domainrand import HardEvalData
+
+    data = HardEvalData(hw, batch_size=1, seed=seed)
+    for _ in range(n_scenes):
+        yield data._scene()
+
+
+PERTURBATIONS = (
+    "gamma_down", "gamma_up", "contrast_down", "wb_warm",
+    "noise", "hflip", "zoom_in", "zoom_out",
+)
+
+
+def perturbed_fixture_scenes(root, hw, variants=PERTURBATIONS):
+    """Perturbation-robustness variants of the annotated real fixtures.
+
+    The real-image gates (tests/test_golden.py::TestDomainRandomizedCheckpoint)
+    score the pinned model on the only two real photographs in existence
+    (reference data/frc_balls.png + red_robot.png) — which are also the images
+    the round-4 hard-negative fine-tune was designed against.  That is
+    selection pressure on the test set (VERDICT r4 item 4).  These variants
+    de-leak the evaluation: deterministic photometric and geometric transforms
+    of the fixtures that no training iteration ever optimized against, with the
+    ground-truth boxes/masks transformed alongside.  A model that memorized the
+    two exact pixel grids fails here; a model that detects balls and robots
+    does not.
+
+    Photometric variants leave the GT untouched; geometric variants (hflip,
+    zoom_in = center-crop 0.8 + resize back, zoom_out = shrink to 0.8 on a
+    gray canvas) transform boxes, instance masks, and the semantic map through
+    the same nearest-neighbor resampler as the dataset loader.  Yields the
+    evaluator's scene tuples, one per (fixture, variant).
+    """
+    import numpy as np
+
+    from tod_tpu.train.dataset import _nearest_resize
+
+    h, w = hw
+    base = list(disk_eval_scenes(root, hw, 2))
+
+    def photometric(img, name, rng):
+        f = img.astype(np.float32)
+        if name == "gamma_down":
+            out = (f / 255.0) ** 0.6 * 255.0
+        elif name == "gamma_up":
+            out = (f / 255.0) ** 1.6 * 255.0
+        elif name == "contrast_down":
+            out = (f - 128.0) * 0.65 + 128.0
+        elif name == "wb_warm":
+            out = f * np.array([1.15, 1.0, 0.85], np.float32)
+        elif name == "noise":
+            out = f + rng.normal(0.0, 12.0, f.shape)
+        else:
+            raise ValueError(name)
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    for img, boxes, classes, valid, inst, sem in base:
+        for vi, name in enumerate(variants):
+            rng = np.random.default_rng(1000 + vi)  # deterministic per variant
+            b, v = boxes.copy(), valid.copy()
+            if name == "hflip":
+                im = img[:, ::-1].copy()
+                b[:, 1], b[:, 3] = 1.0 - boxes[:, 3], 1.0 - boxes[:, 1]
+                ins, sm = inst[:, :, ::-1].copy(), sem[:, ::-1].copy()
+            elif name == "zoom_in":  # center-crop 0.8, resize back (1.25x)
+                f = 0.8
+                y0, x0 = int(h * (1 - f) / 2), int(w * (1 - f) / 2)
+                ch, cw = int(h * f), int(w * f)
+                im = _nearest_resize(img[y0:y0 + ch, x0:x0 + cw], hw)
+                b = np.clip((boxes - (1 - f) / 2) / f, 0.0, 1.0)
+                v = valid & ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) > 0.003)
+                ins = np.stack(
+                    [_nearest_resize(m[y0:y0 + ch, x0:x0 + cw], hw) for m in inst]
+                )
+                sm = _nearest_resize(sem[y0:y0 + ch, x0:x0 + cw], hw)
+            elif name == "zoom_out":  # shrink to 0.8 on a gray canvas
+                f = 0.8
+                sh, sw = int(h * f), int(w * f)
+                y0, x0 = (h - sh) // 2, (w - sw) // 2
+                im = np.full((h, w, 3), 114, np.uint8)
+                im[y0:y0 + sh, x0:x0 + sw] = _nearest_resize(img, (sh, sw))
+                b = (1 - f) / 2 + boxes * f
+                ins = np.zeros_like(inst)
+                ins[:, y0:y0 + sh, x0:x0 + sw] = np.stack(
+                    [_nearest_resize(m, (sh, sw)) for m in inst]
+                )
+                sm = np.zeros_like(sem)
+                sm[y0:y0 + sh, x0:x0 + sw] = _nearest_resize(sem, (sh, sw))
+            else:
+                im = photometric(img, name, rng)
+                ins, sm = inst, sem
+            yield im, b, classes, v, ins, sm
+
+
 def evaluate_engines(
     eng, eng_sem, n_scenes: int = 16, seed: int = 9999, hw=(240, 320), scenes=None
 ) -> dict:
@@ -334,6 +434,23 @@ def main(argv=None) -> int:
         "(train/dataset.py layout) instead of held-out procedural scenes",
     )
     p.add_argument(
+        "--hard", action="store_true",
+        help="evaluate against the HARD held-out distribution "
+        "(domainrand.HardEvalData: small/occluded/crowded objects, busy "
+        "backgrounds) — the discriminative eval for comparing trained "
+        "models; the standard held-out eval saturates at mAP@.5 = 1.0",
+    )
+    p.add_argument(
+        "--hw", default=None,
+        help="eval input resolution as HxW (e.g. 480x640); default 240x320 — "
+        "quality at the reference's native VGA operating point is a "
+        "first-class question (reference src/scene.rs:36-37)",
+    )
+    p.add_argument(
+        "--backbone", default=None,
+        help="model family member of the checkpoint (ModelConfig.backbone)",
+    )
+    p.add_argument(
         "--sim", action="store_true",
         help="evaluate against sim-renderer scenes (tod_tpu.sim.camera) — a "
         "CROSS-domain generator the trainer never saw; report beside the "
@@ -347,11 +464,31 @@ def main(argv=None) -> int:
         "(tests/fixtures/real) — the detection-vs-memorization report",
     )
     args = p.parse_args(argv)
+    # persistent compilation cache (same dir as bench.py/train.run): repeat
+    # evals of the same engine shapes skip minutes of XLA compile
+    import pathlib as _pl
+
+    import jax as _jax
+
+    try:
+        _cache = _pl.Path(__file__).resolve().parents[2] / ".jax_cache"
+        _jax.config.update("jax_compilation_cache_dir", str(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    hw_cli = None
+    if args.hw:
+        hh, ww = args.hw.lower().split("x")
+        hw_cli = (int(hh), int(ww))
     mcfg = None
-    if args.int8:
+    if args.int8 or hw_cli or args.backbone:
         from tod_tpu.core.config import ModelConfig
 
-        mcfg = ModelConfig(input_size=(240, 320), quantized=True)
+        mcfg = ModelConfig(
+            input_size=hw_cli or (240, 320),
+            quantized=args.int8,
+            backbone=args.backbone or "mobilenetv2",
+        )
     if args.report_domains:
         import pathlib
 
@@ -376,21 +513,25 @@ def main(argv=None) -> int:
             )
         print(json.dumps(out))
         return 0
-    if args.data or args.sim:
+    if args.data or args.sim or args.hard:
         from tod_tpu.train.checkpoint import load_checkpoint
 
         hw = mcfg.input_size if mcfg else (240, 320)
         eng, eng_sem = make_eval_engines(hw, mcfg, params=load_checkpoint(args.ckpt))
-        scenes = (
-            disk_eval_scenes(args.data, hw, args.scenes)
-            if args.data
-            else sim_eval_scenes(hw, args.scenes, seed=args.seed)
-        )
+        if args.data:
+            scenes = disk_eval_scenes(args.data, hw, args.scenes)
+        elif args.hard:
+            scenes = hard_eval_scenes(hw, args.scenes, seed=args.seed)
+        else:
+            scenes = sim_eval_scenes(hw, args.scenes, seed=args.seed)
         out = evaluate_engines(eng, eng_sem, hw=hw, scenes=scenes)
         out["checkpoint"] = args.ckpt
-        out["data"] = args.data if args.data else "sim"
+        out["data"] = args.data if args.data else ("hard" if args.hard else "sim")
     else:
-        out = evaluate(args.ckpt, n_scenes=args.scenes, seed=args.seed, mcfg=mcfg)
+        out = evaluate(
+            args.ckpt, n_scenes=args.scenes, seed=args.seed,
+            hw=hw_cli or (240, 320), mcfg=mcfg,
+        )
     out["mode"] = "static-int8" if args.int8 else "float"
     print(json.dumps(out))
     return 0

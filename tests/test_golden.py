@@ -418,11 +418,15 @@ class TestDomainRandomizedCheckpoint:
         )
         assert m["n_scenes"] == 16, m
         # recall under perturbation: the balls and the robot must still be
-        # FOUND (IoU .3 — geometric variants legitimately blur box edges)
-        assert m["det_recall_iou30"] >= 0.8, m
-        assert m["det_recall_iou50"] >= 0.6, m
-        assert m["map50"] is not None and m["map50"] >= 0.5, m
-        assert m["ap50_per_class"][3] >= 0.5, m  # balls under perturbation
+        # FOUND (IoU .3 — geometric variants legitimately blur box edges).
+        # Measured at the freeze (pinned yolact_dr): recall@30 = 1.0,
+        # recall@50 = 1.0, mAP@.5 = 1.0, ball AP@.5 = 1.0, mAP@[.5:.95]
+        # 0.594 (box tightness degrades under perturbation — not gated).
+        # Bars sit at 0.75-0.9 to absorb backend numeric drift only.
+        assert m["det_recall_iou30"] >= 0.9, m
+        assert m["det_recall_iou50"] >= 0.75, m
+        assert m["map50"] is not None and m["map50"] >= 0.75, m
+        assert m["ap50_per_class"][3] >= 0.75, m  # balls under perturbation
 
     @pytest.mark.slowgate
     def test_quality_holds_at_native_vga(self):

@@ -104,6 +104,28 @@ class TestYolactGraph:
         out = model.apply(params, x, train=False)
         assert out.loc.shape == (1, anchors.shape[0], 4)
 
+    def test_backbone_field_is_authoritative_under_default_name(self):
+        """Regression (round 5): ModelConfig(backbone="resnet18") under the
+        DEFAULT model name must actually build a ResNet — the mnv2 factory
+        used to force backbone="mobilenetv2", so `train.run --backbone
+        resnet50` silently trained MobileNetV2 (round 4's config-15 quality
+        cells were three MNv2 checkpoints; caught when two different-backbone
+        training curves matched to 4 decimals)."""
+        import jax as _jax
+
+        cfg_r = dataclasses.replace(TINY, backbone="resnet18")  # default name
+        cfg_m = dataclasses.replace(TINY, backbone="mobilenetv2")
+        assert cfg_r.name == "yolact_mnv2_fpn"  # the default entry point
+        model_r, _ = create_model(cfg_r)
+        model_m, _ = create_model(cfg_m)
+        assert model_r.cfg.backbone == "resnet18"
+        x = jnp.zeros((1, *cfg_r.input_size, 3), jnp.bfloat16)
+        pr = model_r.init(jax.random.PRNGKey(0), x, train=False)
+        pm = model_m.init(jax.random.PRNGKey(0), x, train=False)
+        keys_r = _jax.tree_util.tree_structure(pr)
+        keys_m = _jax.tree_util.tree_structure(pm)
+        assert keys_r != keys_m, "resnet18 under the default name built MNv2"
+
 
 class TestMaskKernel:
     def test_pallas_matches_jnp_oracle(self):

@@ -228,8 +228,16 @@ def detect_batch(
 
 @register_model("yolact_mnv2_fpn")
 def _yolact_mnv2(cfg: ModelConfig | None = None) -> Yolact:
+    """Default family entry point.  ``cfg.backbone`` is AUTHORITATIVE: this
+    factory used to force mobilenetv2, which silently retargeted every
+    ``ModelConfig(backbone="resnetXX")`` built under the default name —
+    ``train.run --backbone resnet50`` trained MobileNetV2 bit-for-bit, and
+    round 4's config-15 "R18/R50" quality cells actually scored MNv2
+    checkpoints (caught in round 5 when two different-backbone training
+    curves matched to 4 decimals).  The explicit family names below still
+    pin their backbone."""
     cfg = cfg or ModelConfig()
-    return Yolact(cfg=dataclasses.replace(cfg, backbone="mobilenetv2"))
+    return Yolact(cfg=cfg)
 
 
 @register_model("yolact_r18_fpn")

@@ -93,6 +93,16 @@ def main(argv=None) -> int:
     stage("import_jax")
     jax.devices()  # force the device/tunnel dial so it isn't billed to compile
     stage("device_dial")
+    # first data-plane touch, as its OWN stage: the process's first
+    # host→device transfer pays tunnel/session establishment beyond the
+    # enumeration above, and during transport-weather stalls that first
+    # touch alone has measured in the minutes — previously it hid inside
+    # whatever stage happened to touch the device first (a round-5 AOT boot
+    # recorded 159 s of it inside artifact_load's RTT probe warm-up)
+    import numpy as _np
+
+    _np.asarray(jax.device_put(_np.zeros((8,), _np.uint8)))
+    stage("device_first_touch")
 
     import numpy as np
 

@@ -207,17 +207,22 @@ def planner_config_from_meta(meta: dict):
 
 
 def _rtt_probe_ms() -> float:
-    """One transport round trip (dispatch + 4-byte value readback of a tiny
-    resident array — no compute): the same-moment weather stamp attached to
-    each AOT load stage so a slow stage is attributable to the transport or
-    to the stage itself (VERDICT r4 item 3)."""
+    """One transport round trip (32-byte host→device transfer + value
+    readback, NO compute and NO compile): the same-moment weather stamp
+    attached to each AOT load stage so a slow stage is attributable to the
+    transport or to the stage itself (VERDICT r4 item 3).
+
+    Deliberately jit-free: the first version jitted a tiny ``v.sum()``
+    "outside the timed path" — but that cold compile goes through the
+    remote compile service, and during a service stall the WEATHER PROBE
+    itself cost 292 s inside an otherwise zero-compile AOT boot (recorded
+    in a round-5 bench validation run).  A transfer round trip measures the
+    transport without ever touching the compiler."""
     import jax
 
-    x = jax.device_put(np.zeros((8,), np.float32))
-    f = jax.jit(lambda v: v.sum())
-    float(f(x))  # compile outside the timed path
+    np.asarray(jax.device_put(np.zeros((8,), np.float32)))  # warm the path
     t0 = time.perf_counter()
-    float(f(x))
+    np.asarray(jax.device_put(np.zeros((8,), np.float32)))
     return round((time.perf_counter() - t0) * 1e3, 1)
 
 

@@ -37,11 +37,11 @@ def clock(name, t0):
     return time.time()
 
 def rtt_probe():
-    x = jax.device_put(np.zeros((8,), np.float32))
-    f = jax.jit(lambda v: v.sum())
-    float(f(x))
+    # transfer-only (no jit): a cold probe compile can stall minutes on the
+    # remote compile service — see deploy._rtt_probe_ms
+    np.asarray(jax.device_put(np.zeros((8,), np.float32)))
     t0 = time.perf_counter()
-    float(f(x))
+    np.asarray(jax.device_put(np.zeros((8,), np.float32)))
     return round((time.perf_counter() - t0) * 1e3, 1)
 
 t0 = time.time()

@@ -109,6 +109,79 @@ class TestExportRoundTrip:
         assert art2.boot == "jit"
         np.testing.assert_array_equal(ref, np.asarray(art2.call(packed)))
 
+    def test_track_plan_artifact_threads_bank_bit_exact(self, tmp_path):
+        """Round 5: the TRACKED fused frame+plan graph freezes with the
+        Kalman bank as an explicit input/output.  Two chained calls through
+        the artifact must replay the live tracked engine bit-for-bit — plan
+        buffers AND the evolved bank (temporal serving survives freezing)."""
+        import dataclasses
+
+        from tod_tpu.core.config import TrackerConfig
+
+        cfg = dataclasses.replace(
+            tiny_cfg("tpu"), tracker=TrackerConfig(enabled=True)
+        )
+        eng = Engine(cfg, mode="detect", seed=7, use_pallas=False)
+        packed = _packed_frame(5)
+        exported, meta = deploy.export_engine(eng, mode="track_plan")
+        assert meta["mode"] == "track_plan"
+        assert meta["tracker"]["max_tracks"] == cfg.tracker.max_tracks
+        p = tmp_path / "tracked.todx"
+        deploy.save_artifact(exported, meta, str(p))
+        art = deploy.ServingArtifact.load(str(p))
+
+        bank_art = art.init_tracks()
+        bank_ref = eng._init_tracks()
+        import jax.numpy as jnp
+
+        pk = jnp.asarray(packed)
+        for step in range(2):
+            plan_a, bank_art = art.call(pk, bank_art)
+            # live engine: unjitted fn (the jitted one donates its bank)
+            plan_r, bank_ref = eng._serve_step_track_plan_fn(
+                eng.params, pk, bank_ref
+            )
+            np.testing.assert_array_equal(
+                np.asarray(plan_a), np.asarray(plan_r), err_msg=f"plan {step}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(bank_art), np.asarray(bank_ref), err_msg=f"bank {step}"
+            )
+        assert np.asarray(bank_art).any(), "bank never evolved"
+
+    def test_track_plan_serve_artifact_and_artifact_engine(self, tmp_path):
+        """The minimal deploy.serve loop AND the production ArtifactEngine
+        both drive a track_plan artifact end-to-end (bank threaded through
+        planning dispatches; off-cadence frames don't step the tracker)."""
+        import dataclasses
+
+        from tod_tpu.core.config import TrackerConfig
+        from tod_tpu.runtime.artifact_engine import ArtifactEngine
+
+        cfg = dataclasses.replace(
+            tiny_cfg("tpu"), tracker=TrackerConfig(enabled=True)
+        )
+        eng = Engine(cfg, mode="detect", seed=7, use_pallas=False)
+        exported, meta = deploy.export_engine(eng, mode="track_plan")
+        p = tmp_path / "tracked.todx"
+        deploy.save_artifact(exported, meta, str(p))
+        art = deploy.ServingArtifact.load(str(p))
+
+        store = PathStore()
+        m = deploy.serve_artifact(
+            art, SyntheticSource(TINY_CAM, seed=1, n_frames=6),
+            path_store=store, plan_every=2,
+        )
+        assert m["n_frames"] == 6 and m["plans_done"] >= 2
+
+        aeng = ArtifactEngine(art)
+        assert aeng.cfg.tracker.enabled
+        m2 = aeng.run(
+            SyntheticSource(TINY_CAM, seed=2, n_frames=6),
+            path_store=PathStore(), plan_every=2, warmup=True,
+        )
+        assert m2["n_frames"] == 6 and m2["plans_done"] >= 2
+
     def test_format1_artifact_still_loads(self, engine, tmp_path):
         """Back-compat: a format-1 file (no payload_bytes — StableHLO to
         EOF) loads and runs through the portable path."""

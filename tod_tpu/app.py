@@ -284,8 +284,10 @@ def _main_todx(args) -> int:
     ):
         if flag:
             raise SystemExit(
-                f"{name} is incompatible with --todx (those features need "
-                "the full Engine; the artifact freezes one serving graph)"
+                f"{name} is incompatible with --todx (the artifact freezes "
+                "one serving graph at export; tracking is an EXPORT-time "
+                "choice — `deploy export --track` freezes the tracked graph "
+                "and the app serves whatever mode the artifact declares)"
             )
     if not args.plan_every:
         raise SystemExit(

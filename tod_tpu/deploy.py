@@ -65,22 +65,49 @@ _MAGIC = b"TODX1\n"
 def _serving_fn(engine, mode: str):
     """The engine's fused serving graph for ``mode`` with its prepared
     params closed over (captured device arrays become constants — the
-    "frozen weights" of the blob), plus the packed-input spec."""
+    "frozen weights" of the blob), plus the input specs.
+
+    ``"track_plan"`` (round 5) freezes the TRACKED fused frame+plan graph
+    with the Kalman bank as an explicit input/output —
+    ``(packed, tracks) → (plan, new_tracks)`` — so the temporal serving
+    layer survives freezing (state can't live in HBM across calls of an
+    exported executable; it threads through the signature instead).  The
+    engine must be built with ``TrackerConfig.enabled``.
+    """
     import jax
 
     cam = engine.cfg.camera
+    packed_spec = jax.ShapeDtypeStruct((cam.height * cam.width * 5,), np.uint8)
+    params = engine.params
+    if mode == "track_plan":
+        if not getattr(engine.cfg.tracker, "enabled", False):
+            raise ValueError(
+                "track_plan export needs a tracked engine "
+                "(TrackerConfig.enabled; deploy export --track)"
+            )
+        # the UNJITTED step: the engine's jitted variant donates the bank
+        # (in-place HBM update), which is the wrong contract for an exported
+        # executable a runtime may call with the same buffer twice
+        step = engine._serve_step_track_plan_fn
+        fn = jax.jit(lambda packed, tracks: step(params, packed, tracks))
+        from tod_tpu.track import init_tracks
+
+        bank = init_tracks(engine.cfg.tracker)
+        return fn, [
+            packed_spec, jax.ShapeDtypeStruct(bank.shape, np.dtype(bank.dtype))
+        ]
     fns = {
         "plan": engine._serve_step_plan,
         "scene": engine._serve_step_scene,
         "packed": engine._serve_step_packed,
     }
     if mode not in fns:
-        raise ValueError(f"unknown artifact mode {mode!r} (use plan/scene/packed)")
+        raise ValueError(
+            f"unknown artifact mode {mode!r} (use plan/track_plan/scene/packed)"
+        )
     step = fns[mode]
-    params = engine.params
     fn = jax.jit(lambda packed: step(params, packed))
-    spec = jax.ShapeDtypeStruct((cam.height * cam.width * 5,), np.uint8)
-    return fn, spec
+    return fn, [packed_spec]
 
 
 def build_aot(engine, mode: str = "plan") -> tuple[bytes, dict]:
@@ -94,8 +121,8 @@ def build_aot(engine, mode: str = "plan") -> tuple[bytes, dict]:
     import jax
     from jax.experimental import serialize_executable as se
 
-    fn, spec = _serving_fn(engine, mode)
-    compiled = fn.lower(spec).compile()
+    fn, specs = _serving_fn(engine, mode)
+    compiled = fn.lower(*specs).compile()
     payload, in_tree, out_tree = se.serialize(compiled)
     dev = jax.devices()[0]
     return pickle.dumps((payload, in_tree, out_tree)), {
@@ -118,11 +145,11 @@ def export_engine(engine, mode: str = "plan", platforms=None):
     from jax import export as jexport
 
     cam = engine.cfg.camera
-    fn, spec = _serving_fn(engine, mode)
+    fn, specs = _serving_fn(engine, mode)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jexport.export(fn, **kwargs)(spec)
+    exported = jexport.export(fn, **kwargs)(*specs)
 
     pcfg = engine.cfg.planner
     meta = {
@@ -149,6 +176,14 @@ def export_engine(engine, mode: str = "plan", platforms=None):
         "jax_version": jax.__version__,
         "created_unix": time.time(),
     }
+    if mode == "track_plan":
+        # the loader rebuilds the zero bank + the engine-side tracker config
+        # from the header alone (no model/tracker code needed to size it)
+        tk = engine.cfg.tracker
+        meta["tracker"] = {
+            "max_tracks": tk.max_tracks,
+            "state_width": int(specs[1].shape[1]),
+        }
     return exported, meta
 
 
@@ -291,10 +326,22 @@ class ServingArtifact:
             # let the probe "pass" while deferring ~43 s of real program
             # load into the first serving call — and mis-attributing it to
             # ``first_plan`` in the boot stage clock.
-            probe = jax.device_put(
-                np.zeros((meta["packed_input_bytes"],), np.uint8), dev
-            )
-            for leaf in jax.tree.leaves(call(probe)):
+            probe_args = [
+                jax.device_put(
+                    np.zeros((meta["packed_input_bytes"],), np.uint8), dev
+                )
+            ]
+            tk = meta.get("tracker")
+            if tk:  # track_plan artifacts take (packed, bank)
+                probe_args.append(
+                    jax.device_put(
+                        np.zeros(
+                            (tk["max_tracks"], tk["state_width"]), np.float32
+                        ),
+                        dev,
+                    )
+                )
+            for leaf in jax.tree.leaves(call(*probe_args)):
                 np.asarray(leaf)
             t3 = time.perf_counter()
             if stages is not None:
@@ -337,14 +384,32 @@ class ServingArtifact:
             stages["rtt_after_ms"] = _rtt_probe_ms()
         return cls(exported, meta, aot_call=aot_call, load_stages=stages)
 
-    def call(self, packed):
+    def call(self, packed, *state):
+        """Run the frozen graph.  ``"track_plan"`` artifacts take the Kalman
+        bank as a second argument and return ``(plan, new_bank)``."""
         n = self.meta["packed_input_bytes"]
         if getattr(packed, "shape", None) != (n,):
             raise ValueError(
                 f"artifact expects a ({n},) u8 packed frame, got "
                 f"{getattr(packed, 'shape', type(packed))}"
             )
-        return self._call(packed)
+        return self._call(packed, *state)
+
+    def init_tracks(self):
+        """Fresh all-inactive Kalman bank for a ``"track_plan"`` artifact,
+        sized from the header (zeros — tod_tpu.track.init_tracks semantics,
+        no tracker code needed)."""
+        import jax
+
+        tk = self.meta.get("tracker")
+        if not tk:
+            raise ValueError(
+                f"init_tracks() needs a 'track_plan' artifact, this is "
+                f"{self.meta['mode']!r}"
+            )
+        return jax.device_put(
+            np.zeros((tk["max_tracks"], tk["state_width"]), np.float32)
+        )
 
     def plan(self, packed):
         """Frame → Path (``"plan"``-mode artifacts only)."""
@@ -399,6 +464,11 @@ def serve_artifact(
         pcfg = planner_config_from_meta(artifact.meta)
     else:
         from tod_tpu.planner.api import materialize_path
+    # track_plan: thread the Kalman bank through planning dispatches only
+    # (the tracker steps once per planning dispatch — Engine.run semantics);
+    # off-cadence frames run the graph with the CURRENT bank and discard the
+    # update, so detection/latency behavior matches the untracked cadence
+    tracks = artifact.init_tracks() if mode == "track_plan" else None
 
     uploader = _UploadWorker(source, n_frames)
     n_done = 0
@@ -409,7 +479,7 @@ def serve_artifact(
 
     def _flush_plan(out):
         nonlocal last_path, n_planned
-        if mode == "plan":
+        if mode in ("plan", "track_plan"):
             last_path = materialize_path(out)
         else:
             height, balls = artifact.unpack_scene(out)
@@ -425,7 +495,13 @@ def serve_artifact(
             continue
         if item is None:
             break
-        out_d = artifact.call(item)
+        if mode == "track_plan":
+            plan_frame_now = plan_every and n_done % plan_every == 0
+            out_d, new_tracks = artifact.call(item, tracks)
+            if plan_frame_now:
+                tracks = new_tracks  # the tracker steps on planning frames
+        else:
+            out_d = artifact.call(item)
         if plan_every and n_done % plan_every == 0:
             # materialize the PREVIOUS plan-frame output now — it has had
             # plan_every frames of dispatch overlap, so this rarely blocks,
@@ -467,6 +543,10 @@ def _cmd_export(args) -> int:
     )
     from tod_tpu.runtime.engine import Engine
 
+    if getattr(args, "track", False) and args.mode == "plan":
+        args.mode = "track_plan"
+    from tod_tpu.core.config import TrackerConfig
+
     cam = CameraConfig(width=args.width, height=args.height)
     cfg = PipelineConfig(
         camera=cam,
@@ -475,12 +555,13 @@ def _cmd_export(args) -> int:
             quantized=args.int8,
         ),
         planner=PlannerConfig(
-            backend="tpu" if args.mode == "plan" else "auto",
+            backend="tpu" if args.mode in ("plan", "track_plan") else "auto",
             signed_turns=args.signed_turns,
             start_offset=(
                 args.start_offset if args.start_offset is not None else 240
             ),
         ),
+        tracker=TrackerConfig(enabled=args.mode == "track_plan"),
     )
     params = None
     ckpt = args.checkpoint
@@ -563,7 +644,14 @@ def main(argv=None) -> int:
     pe = sub.add_parser("export", help="freeze the fused serving graph to a .todx file")
     pe.add_argument("--out", required=True)
     pe.add_argument("--checkpoint", help="orbax checkpoint dir (default: pinned)")
-    pe.add_argument("--mode", choices=("plan", "scene", "packed"), default="plan")
+    pe.add_argument(
+        "--mode", choices=("plan", "track_plan", "scene", "packed"), default="plan"
+    )
+    pe.add_argument(
+        "--track", action="store_true",
+        help="freeze the TRACKED fused frame+plan graph (Kalman bank threads "
+        "through the artifact signature); shorthand for --mode track_plan",
+    )
     pe.add_argument("--engine-mode", choices=("detect", "semantic"), default="detect")
     pe.add_argument("--width", type=int, default=320)
     pe.add_argument("--height", type=int, default=240)

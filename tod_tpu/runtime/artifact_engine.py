@@ -24,6 +24,11 @@ is preserved).  Per artifact mode:
                dispatches it (there is no separate frame-only graph in the
                artifact); plans are materialized every ``plan_every``-th
                frame.  Requires ``plan_every`` (in-stream planning).
+- ``"track_plan"`` (round 5) the TRACKED fused frame+plan step with the
+               Kalman bank threaded through the artifact's signature
+               (``(packed, bank) → (plan, bank)``); the run loop carries
+               the bank exactly as the live tracked Engine does.  Exported
+               with ``deploy export --track``.
 - ``"scene"``  host planning from the artifact's (height, balls) outputs —
                the planner worker runs the same host planner the Engine uses.
 - ``"packed"`` host planning from the wire-packed u8 readback (the Engine's
@@ -51,8 +56,11 @@ def pipeline_config_from_meta(meta: dict, server: ServerConfig | None = None) ->
     """Rebuild the serving-relevant PipelineConfig an artifact was exported
     with: camera dims from the packed-input contract, planner semantics from
     the frozen header (signed turns, start column, caps — deploy.py), model
-    facts for display.  The tracker stays disabled: artifacts freeze the
-    untracked graph (the track bank is HBM state the export doesn't carry)."""
+    facts for display.  ``track_plan`` artifacts (round 5) re-enable the
+    tracker: the Kalman bank threads through the frozen graph's signature
+    (state can't live in HBM across exported-executable calls), sized from
+    the header's ``tracker`` block."""
+    from tod_tpu.core.config import TrackerConfig
     from tod_tpu.deploy import planner_config_from_meta
 
     cam_meta = meta["camera"]
@@ -60,6 +68,11 @@ def pipeline_config_from_meta(meta: dict, server: ServerConfig | None = None) ->
     kwargs: dict[str, Any] = {}
     if server is not None:
         kwargs["server"] = server
+    tk = meta.get("tracker")
+    if tk:
+        kwargs["tracker"] = TrackerConfig(
+            enabled=True, max_tracks=int(tk["max_tracks"])
+        )
     return PipelineConfig(
         camera=CameraConfig(width=cam_meta["width"], height=cam_meta["height"]),
         model=ModelConfig(
@@ -114,6 +127,22 @@ class ArtifactEngine(Engine):
             # materialized; the extra device time is the planner stage the
             # export chose to freeze in)
             self._serve_step_scene = step
+        elif amode == "track_plan":
+            # tracked fused frame+plan: run()'s tracked path calls
+            # (params, packed, tracks) → (plan, new_tracks) and threads the
+            # bank — exactly the frozen graph's signature.  Off-cadence
+            # frames run with the CURRENT bank and discard its update (the
+            # tracker steps once per planning dispatch, the Engine
+            # contract; the frozen executable does not donate, so reusing
+            # the bank buffer is safe).
+            self._plan_on_device_mode = True
+            self._serve_step_track_plan = (
+                lambda p, packed, tr: artifact.call(packed, tr)
+            )
+            self._init_tracks = artifact.init_tracks
+            self._serve_step_scene = (
+                lambda p, packed: artifact.call(packed, self._tracks_d)[0]
+            )
         elif amode in ("scene", "packed"):
             self._plan_on_device_mode = False
             self._serve_step_packed = lambda p, packed: artifact.call(packed)  # noqa: E731
@@ -133,7 +162,10 @@ class ArtifactEngine(Engine):
         h, w = self.cfg.camera.height, self.cfg.camera.width
         packed = jax.device_put(np.zeros((h * w * 5,), np.uint8))
         t0 = time.perf_counter()
-        out = self.artifact.call(packed)
+        if self._amode == "track_plan":
+            out = self.artifact.call(packed, self.artifact.init_tracks())
+        else:
+            out = self.artifact.call(packed)
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf)  # value readback: the graph really executed
         dt = time.perf_counter() - t0

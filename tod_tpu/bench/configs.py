@@ -1388,6 +1388,68 @@ def config19_tracked_serving() -> dict:
         eng, cfg, 2, 150 if on_tpu else 4, rtt_ref, plan_every=4
     )
 
+    # batched multistream tracked tick (round 5: per-stream banks wired into
+    # MultiStreamEngine): the N=8 batched tick with the (N, max_tracks, 10)
+    # bank threaded vs the untracked batched tick — the at-scale cost of the
+    # tracking layer (single-stream deltas above are below noise; this
+    # verifies the batched vmap'd update is too)
+    multistream_tracked = None
+    if on_tpu:
+        import jax
+        import jax.numpy as jnp
+
+        from tod_tpu.runtime.multistream import MultiStreamEngine
+
+        n_streams = 8
+        hw = (240, 320)
+        ms_cfg = dataclasses.replace(
+            _pipeline_cfg(hw),
+            planner=PlannerConfig(backend="tpu"),
+            tracker=TrackerConfig(enabled=True),
+        )
+        ms = MultiStreamEngine(ms_cfg, n_streams=n_streams, params=params, seed=0)
+        packed0 = jnp.zeros((n_streams, hw[0] * hw[1] * 5), jnp.uint8)
+        kk = 32
+
+        def _chain_plain(p, pk):
+            def body(i, carry):
+                pk, acc = carry
+                plans = ms._serve_plan_batch_fn(p, pk)
+                s = plans.astype(jnp.float32).sum()
+                return jnp.where(s > jnp.float32(1e30), pk ^ 1, pk), acc + s
+
+            return jax.lax.fori_loop(0, kk, body, (pk, jnp.float32(0)))[1]
+
+        tracks0 = ms._init_track_bank()
+
+        def _chain_track(p, pk):
+            def body(i, carry):
+                pk, tr, acc = carry
+                plans, tr = ms._serve_plan_batch_track_fn(p, pk, tr)
+                s = plans.astype(jnp.float32).sum()
+                return jnp.where(s > jnp.float32(1e30), pk ^ 1, pk), tr, acc + s
+
+            return jax.lax.fori_loop(0, kk, body, (pk, tracks0, jnp.float32(0)))[2]
+
+        def _time(fn):
+            jfn = jax.jit(fn)
+            float(jfn(ms.params, packed0))  # compile + first run
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(jfn(ms.params, packed0))  # value readback
+                samples.append(time.perf_counter() - t0)
+            return min(samples) / kk * 1e3
+
+        plain_tick = _time(_chain_plain)
+        track_tick = _time(_chain_track)
+        multistream_tracked = {
+            "n_streams": n_streams,
+            "tick_ms": round(plain_tick, 3),
+            "tick_tracked_ms": round(track_tick, 3),
+            "tracked_delta_ms": round(track_tick - plain_tick, 3),
+        }
+
     qvga = steps.get("320x240") or next(iter(steps.values()))
     return {
         "metric": "tracked_serving_step_delta_ms",
@@ -1398,6 +1460,7 @@ def config19_tracked_serving() -> dict:
         else None,
         "steps": steps,
         "bounded_point_tracked": point,
+        "multistream_tracked": multistream_tracked,
         "warmup_breakdown": getattr(eng, "warmup_breakdown", None),
         "backend": "tpu" if on_tpu else "cpu",
     }
